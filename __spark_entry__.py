@@ -5,18 +5,31 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
 as you implement operators from SURVEY.md §2.
+
+Implementation lives in ``engine/`` (see engine/__init__.py); this module
+only adapts the registry to the driver's entry points.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Flagship = TPC-H Q5-style 5-way star join (SURVEY §3.1).
+    """
+    from engine.registry import collect
+
+    queries, _ = collect()
+    return queries["join_star_multiway"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -25,7 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from engine.registry import collect
+
+    q, _ = collect()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -35,4 +51,7 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from engine.registry import collect
+
+    _, o = collect()
+    return dict(o)

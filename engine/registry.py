@@ -1,0 +1,61 @@
+"""Operator registry: maps SURVEY.md §2 keys to (spark, sf_dir) -> DataFrame
+builders and their DuckDB oracle SQL.
+
+Every operator module registers via the ``@query`` decorator; ``collect()``
+imports all operator modules and returns the populated maps. Keys without an
+oracle get the driver's weaker rows-only check (SURVEY.md §2: 7 ROWS keys).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[["SparkSession", str], "DataFrame"]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_OPERATOR_MODULES = [
+    "engine.relational",
+    "engine.aggs",
+    "engine.windows",
+    "engine.functions",
+    "engine.llmops",
+    "engine.streaming",
+    "engine.udfs",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under SURVEY §2 key ``name`` with optional oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+            # The driver harness owns its SparkSession; make sure the
+            # runtime confs we rely on (ns-parquet, UTC, AQE) are applied.
+            from engine.session import tune
+
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            raise ValueError(f"duplicate operator key: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    return QUERIES, ORACLES

@@ -1,0 +1,603 @@
+"""Relational core: SURVEY.md §2.A scans/sinks, §2.B filters, §2.C joins,
+§2.F sorts/limits, §2.G set ops.
+
+All operators are declarative DataFrame plans — Catalyst provides predicate
+pushdown, column pruning, broadcast conversion and join reordering (verified
+by plan-shape tests in tests/test_plans.py). Per-operator 100 TB notes inline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.registry import query
+from engine.tables import SCHEMAS, load
+
+_TMP = tempfile.gettempdir()
+
+
+# ---------------------------------------------------------------------------
+# §2.A — scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized parquet scan, all columns (Batched: true in the plan)."""
+    return load(spark, sf_dir, "lineitem")
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema + header: write nation to CSV, read it
+    back with a pinned StructType — proves lossless type coercion.
+
+    100 TB: CSV reads are splittable (uncompressed/bzip2); schema is always
+    explicit so no inference pass over the data.
+    """
+    path = f"{_TMP}/spark_graft_csv_nation"
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(path)
+
+
+@query(
+    "scan_json_lines",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema (no sampling-based inference)."""
+    path = f"{_TMP}/spark_graft_json_region"
+    load(spark, sf_dir, "region").write.mode("overwrite").json(path)
+    return spark.read.schema(SCHEMAS["region"]).json(path)
+
+
+_LINEITEM_COLS = ", ".join(f.name for f in SCHEMAS["lineitem"].fields)
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle=f"SELECT {_LINEITEM_COLS} FROM lineitem WHERE l_quantity <= 10",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back.
+
+    100 TB: partitionBy on a low-cardinality column (3 values) keeps file
+    counts bounded; high-cardinality keys would use bucketing instead.
+    """
+    path = f"{_TMP}/spark_graft_sink_lineitem"
+    (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    # partition column comes back last; restore canonical order
+    return spark.read.parquet(path).select(*[f.name for f in SCHEMAS["lineitem"].fields])
+
+
+@query(
+    "scan_partition_prune",
+    oracle=f"SELECT {_LINEITEM_COLS} FROM lineitem WHERE l_returnflag = 'R'",
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: filter on the partition column only touches the
+    matching directory (PartitionFilters in the plan — asserted in tests)."""
+    path = f"{_TMP}/spark_graft_prune_lineitem"
+    (
+        load(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return df.select(*[f.name for f in SCHEMAS["lineitem"].fields])
+
+
+# ---------------------------------------------------------------------------
+# §2.B — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_rename_compute",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def project_rename_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row IEEE arithmetic is bit-identical across engines — no rounding
+    # needed (rounding is reserved for aggregates, where summation order
+    # varies; see SURVEY §5.3).
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_linestatus
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount < 0.05) AND NOT (l_linestatus = 'F')
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT predicate — pushed to the parquet scan (PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05) & ~(F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_linestatus")
+
+
+@query(
+    "filter_null_3vl",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN l_quantity END AS qty_hi_disc
+    FROM lineitem
+    WHERE (CASE WHEN l_discount > 0.05 THEN l_quantity END) IS NULL
+       OR (CASE WHEN l_discount > 0.05 THEN l_quantity END) > 40
+    """,
+)
+def filter_null_3vl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic over a derived nullable column: NULL > 40 is
+    UNKNOWN, so rows only pass via the explicit IS NULL branch."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))
+    df = li.select("l_orderkey", "l_linenumber", qty.alias("qty_hi_disc"))
+    return df.filter(F.col("qty_hi_disc").isNull() | (F.col("qty_hi_disc") > 40))
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND c_acctbal BETWEEN 100 AND 5000
+      AND c_name LIKE '%1%'
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_acctbal").between(100, 5000)
+        & F.col("c_name").like("%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "filter_rlike",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|small) [a-z]+$')
+    """,
+)
+def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate; pattern kept POSIX-safe so Java regex and DuckDB RE2
+    agree."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("^(red|small) [a-z]+$")).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.C — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join. Catalyst picks BroadcastHashJoin (customer under the
+    32 MB threshold at test SFs) or SortMergeJoin at scale; AQE can demote a
+    planned SMJ to broadcast at runtime."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) big
+      ON c_custkey = big.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) rich
+      RIGHT JOIN orders ON rich.c_custkey = o_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load(spark, sf_dir, "orders")
+    return rich.join(o, rich.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT rich.c_custkey AS cust_key, rich.c_name AS cust_name,
+           big.o_orderkey AS order_key, big.o_totalprice AS order_price
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) rich
+      FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) big
+      ON rich.c_custkey = big.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("order_price"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    f_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(f_orders, c.c_custkey == f_orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    f_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(f_orders, c.c_custkey == f_orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded dims only (5 × 25). Never on fact tables."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join → BroadcastNestedLoopJoin (supplier is the small,
+    broadcast side). 100 TB: band-join rewrites to bucketed equi-join on
+    floor(acctbal/band) + residual predicate; supplier stays broadcastable."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 10, s.s_acctbal + 10)
+    return F.broadcast(s).join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+             o.o_orderdate AS asof_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): for each event, the user's
+    latest order at-or-before ts. Equi-join on user + window rn=1, with a
+    deterministic (o_orderdate, o_orderkey) DESC tie-break.
+
+    100 TB: the equi-key bounds the blow-up to events×orders *per user*; for
+    heavy-hitter users, pre-aggregate the right side to its per-(user,
+    time-bucket) latest row before the join (cuts the window input by the
+    bucket factor), or use a sort-merge within co-partitioned buckets.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "inner")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT date_trunc('week', a.o_orderdate) AS wk, count(*) AS pair_cnt
+    FROM orders a JOIN orders b
+      ON b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+     AND a.o_orderkey <> b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: order pairs whose dates fall within a 7-day window.
+
+    Scale path (used here, not just documented): a naive range join is a
+    nested-loop O(n²). We bucket by week — a [d, d+7d) window overlaps at
+    most 2 week buckets, so the left side explodes into its ≤2 covering
+    buckets and the join becomes an equi-join on the bucket + residual range
+    filter. Each right row lives in exactly one bucket → no dedup needed.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    a = (
+        o.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.date_trunc("week", F.col("o_orderdate")),
+                    F.date_trunc("week", F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
+                )
+            ),
+        )
+        .dropDuplicates(["o_orderkey", "bucket"])
+        .select(
+            F.col("o_orderkey").alias("a_key"),
+            F.col("o_orderdate").alias("a_date"),
+            "bucket",
+        )
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("b_date") >= F.col("a_date"))
+        & (F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY"))
+        & (F.col("a_key") != F.col("b_key"))
+    )
+    return pairs.groupBy(F.date_trunc("week", F.col("a_date")).alias("wk")).agg(
+        F.count("*").alias("pair_cnt")
+    )
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT n_name, count(*) AS cust_cnt, round(sum(c_acctbal), 2) AS bal_sum
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the dim side — same result, no shuffle of
+    the fact table for the join (only for the following aggregation)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cust_cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal_sum"))
+    )
+
+
+@query(
+    "join_star_multiway",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way star join, revenue by nation.
+
+    100 TB: dims (region/nation/customer-filtered) broadcast; the single big
+    shuffle is lineitem⋈orders on orderkey; Catalyst pushes r_name='ASIA'
+    through the dim chain before it touches the facts.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_nulls",
+    oracle="""
+    SELECT c_custkey, seg_nullable, c_acctbal,
+           row_number() OVER (
+             ORDER BY seg_nullable ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC
+           ) AS pos
+    FROM (SELECT c_custkey, c_acctbal,
+                 CASE WHEN c_acctbal > 1000 THEN c_mktsegment END AS seg_nullable
+          FROM customer)
+    """,
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit nulls placement. The driver hash is
+    order-insensitive, so sort correctness is made hashable via the attached
+    row_number over the same total order (unique tie-break: c_custkey)."""
+    c = load(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 1000, F.col("c_mktsegment")).alias("seg_nullable"),
+        "c_acctbal",
+    )
+    order = [
+        F.col("seg_nullable").asc_nulls_first(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    ]
+    return df.withColumn("pos", F.row_number().over(Window.orderBy(*order))).orderBy(*order)
+
+
+@query(
+    "topk_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows, never a full sort). Deterministic via o_orderkey tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination over a deterministic total order."""
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").offset(100).limit(50).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.G — set operations (two deterministic order projections)
+# ---------------------------------------------------------------------------
+
+_SET_A = "SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+_SET_B = "SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
+
+
+def _set_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey", "o_orderpriority")
+    return a, b
+
+
+@query("set_union_all", oracle=f"{_SET_A} UNION ALL {_SET_B}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@query("set_union_distinct", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_intersect_all", oracle=f"{_SET_A} INTERSECT ALL {_SET_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.subtract(b)
+
+
+@query("set_except_all", oracle=f"{_SET_A} EXCEPT ALL {_SET_B}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.exceptAll(b)

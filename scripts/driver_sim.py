@@ -1,0 +1,118 @@
+"""Simulate the driver's t1+t2 gates end-to-end through __spark_entry__.
+
+Usage: python scripts/driver_sim.py [sf_dir] [key ...]
+
+Builds a VANILLA SparkSession (no engine tuning — exactly what the driver
+would do), imports __spark_entry__ the way the driver does, runs entry() at
+sf0.001, then every queries() key at sf_dir (default sf0.01) against its
+oracle_sql() via DuckDB: row-count + column-name + order-insensitive
+value-hash (floats rounded to 9 significant-ish digits before hashing to
+absorb ulp noise the driver's own hash may or may not absorb — mismatches
+print per-column diffs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(col):
+            f = col.astype("float64")
+            df[c] = f.map(lambda x: "nan" if pd.isna(x) else f"{x:.6e}")
+        elif pd.api.types.is_integer_dtype(col):
+            df[c] = col.astype("Int64").astype(str)
+        else:
+            df[c] = col.map(lambda x: "\0" if x is None or x is pd.NA else str(x))
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    rows = sorted("\x1f".join(r) for r in canon(df).to_numpy().tolist())
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    n = entrymod.entry(spark).count()
+    print(f"t1 smoke: entry() -> {n} rows in {time.perf_counter() - t0:.1f}s "
+          f"{'PASS' if n > 0 else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    passed = failed = rows_only = 0
+    for key in sorted(queries):
+        if only and key not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sp = queries[key](spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"  {key}: SPARK ERROR {str(ex)[:200]}")
+            failed += 1
+            continue
+        dt = time.perf_counter() - t0
+        if key not in oracles:
+            print(f"  {key}: ROWS-ONLY {len(sp)} rows  [{dt:.1f}s]")
+            rows_only += 1
+            continue
+        try:
+            du = con.sql(oracles[key]).df()
+        except Exception as ex:
+            print(f"  {key}: ORACLE SQL ERROR {str(ex)[:200]}")
+            failed += 1
+            continue
+        problems = []
+        if sorted(sp.columns) != sorted(du.columns):
+            problems.append(f"cols spark={sorted(sp.columns)} duck={sorted(du.columns)}")
+        elif len(sp) != len(du):
+            problems.append(f"rows spark={len(sp)} duck={len(du)}")
+        elif value_hash(sp) != value_hash(du):
+            a, b = canon(sp), canon(du)
+            for c in a.columns:
+                if sorted(a[c]) != sorted(b[c]):
+                    sa, sb = sorted(a[c]), sorted(b[c])
+                    diff = next((i, x, y) for i, (x, y) in enumerate(zip(sa, sb)) if x != y)
+                    problems.append(f"col {c} first-diff {diff}")
+        if problems:
+            print(f"  {key}: HASH-FAIL {problems}  [{dt:.1f}s]")
+            failed += 1
+        else:
+            print(f"  {key}: PASS {len(sp)} rows  [{dt:.1f}s]")
+            passed += 1
+    print(f"t2: {passed} PASS, {rows_only} ROWS-ONLY, {failed} FAIL")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
