@@ -1,1 +1,280 @@
-"""(stub — operators added in later milestone)"""
+"""Aggregations: SURVEY.md §2.D.
+
+All aggregates are groupBy().agg() → Catalyst plans partial (map-side) +
+final HashAggregate around a single hash-partitioned shuffle; AQE coalesces
+post-shuffle partitions. Float discipline per SURVEY §5.3: aggregates are
+rounded identically on both engine and oracle sides (summation order is
+partition-dependent); pure min/max/count pass through raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-group aggregate: partial aggregation reduces each partition to one
+    row before the single-row exchange — no full-table shuffle at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@query(
+    "agg_group_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (the bench headline aggregate).
+
+    100 TB: 6 distinct groups → partial agg collapses ~everything map-side;
+    the shuffle moves O(partitions × groups) rows, not O(data).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           count(DISTINCT o_custkey) AS cust_cnt,
+           count(DISTINCT o_orderpriority) AS prio_cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (planned via Expand + two-phase
+    aggregate — exact, unlike the HLL path below)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("o_custkey").alias("cust_cnt"),
+        F.count_distinct("o_orderpriority").alias("prio_cnt"),
+    )
+
+
+@query("agg_approx_distinct")  # ROWS: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count per group. No SQL oracle (sketch values
+    are engine-specific); tests/test_properties.py asserts <5% relative error
+    vs the exact count.
+
+    100 TB: this is the *right* distinct-count at scale — fixed-size sketch
+    per group, mergeable map-side, no Expand blow-up."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile`, not the KLL-sketch
+    percentile_approx, which could never hash-match an oracle).
+
+    100 TB note: exact percentile sorts each group's values; for hot groups
+    switch to percentile_approx and a ROWS check."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS cust_cnt,
+           round(sum(c_acctbal), 2) AS bal_sum
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy region → nation → grand total. Group keys are
+    coalesced to 'ALL' so subtotal rows are distinguishable and hash-stable
+    (neither key is nullable in the data)."""
+    df = _cust_geo(spark, sf_dir)
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("cust_cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal_sum"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "cust_cnt",
+            "bal_sum",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS price_sum
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (4 sets). 100 TB: CUBE expands input ×2ⁿ
+    before the shuffle — keep n small or pre-aggregate on the full key first."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("order_cnt"), F.round(F.sum("o_totalprice"), 2).alias("price_sum"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_cnt",
+            "price_sum",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS cust_cnt,
+           round(sum(c_acctbal), 2) AS bal_sum
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (§3.3 textual path)."""
+    _cust_geo(spark, sf_dir).createOrReplaceTempView("sg_cust_geo")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS cust_cnt,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM sg_cust_geo
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS cust_cnt,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collected list, deterministically sorted then stringified
+    (collect_list order is partition-dependent; sort_array + array_join makes
+    it total-ordered and hash-stable)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("cust_cnt"),
+        F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias("segments"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS qty_returned,
+           count(*) FILTER (WHERE l_discount > 0.05) AS hi_disc_cnt,
+           round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 6) AS avg_notax_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregates via sum(when(...)) — evaluated in
+    the same partial/final pipeline as plain aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_quantity"))), 2).alias(
+            "qty_returned"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, True)).alias("hi_disc_cnt"),
+        F.round(F.avg(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 6).alias(
+            "avg_notax_price"
+        ),
+    )
+
+
+def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
