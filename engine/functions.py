@@ -1,1 +1,352 @@
-"""(stub — operators added in later milestone)"""
+"""Scalar function surface: SURVEY.md §2.H (strings, regex, edit distance,
+dates, math, JSON, arrays incl. higher-order, maps, casts, conditionals).
+
+Cross-engine parity rules applied here (SURVEY §5.3 + hard-won additions):
+- per-row IEEE arithmetic (+,-,*,/, sqrt) is emitted RAW — bit-identical in
+  both engines; round() on decimal-aligned data is a half-up/half-away trap.
+- libm-backed fns (ln, pow with non-integer results) may differ by 1 ulp →
+  round(…, 6) on both sides.
+- ceil/floor: Spark returns BIGINT, DuckDB DOUBLE → oracle casts to BIGINT.
+- date outputs are emitted as TIMESTAMP (not DATE) to keep pandas dtypes
+  aligned across engines; weekday uses Spark `weekday` ↔ DuckDB `isodow - 1`.
+- no raw MapType/ArrayType in output: maps → sorted key/value strings,
+  arrays → array_join/array_to_string or scalar summaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+
+@query(
+    "fn_string_core",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_type) AS type_lower,
+           trim(' ' || p_name || ' ') AS name_trimmed,
+           substring(p_name, 1, 5) AS name_head,
+           length(p_name) AS name_len,
+           lpad(p_brand, 10, '*') AS brand_padded,
+           replace(p_name, ' ', '_') AS name_snake,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 10, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS word1,
+           regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS word2,
+           string_split(p_name, ' ')[1] AS first_token,
+           array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ',') AS all_tokens
+    FROM part
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction; patterns stay POSIX-safe (Java regex vs RE2)."""
+    p = load(spark, sf_dir, "part")
+    two_words = r"^([a-z]+) ([a-z]+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", two_words, 1).alias("word1"),
+        F.regexp_extract("p_name", two_words, 2).alias("word2"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_token"),
+        F.array_join(F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1), ",").alias(
+            "all_tokens"
+        ),
+    )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT a.p_partkey AS key_a, a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev_name,
+           levenshtein(a.p_type, b.p_type) AS lev_type
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive part names (DuckDB has no soundex,
+    so the oracle-checked surface is levenshtein; SURVEY §2.H amended)."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+                 F.col("p_type").alias("type_a"))
+    b = p.select((F.col("p_partkey") - 1).alias("key_a"), F.col("p_name").alias("name_b"),
+                 F.col("p_type").alias("type_b"))
+    return a.join(b, "key_a").select(
+        "key_a",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("lev_name"),
+        F.levenshtein("type_a", "type_b").alias("lev_type"),
+    )
+
+
+@query(
+    "fn_date_core",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr,
+           isodow(o_orderdate) - 1 AS dow_iso,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-09-02 00:00:00') AS days_to_ref,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m
+    FROM orders
+    """,
+)
+def fn_date_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parts + truncation + diff + interval arithmetic. weekday (0=Mon)
+    ↔ isodow-1 normalizes the engines' dow conventions; month-end clamping of
+    +3 months agrees (both clamp)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("dow_iso"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("1998-09-02").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ref"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp_ntz").alias("plus3m"),
+    )
+
+
+@query(
+    "fn_math_core",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc_delta,
+           ceil(l_extendedprice)::BIGINT AS price_ceil,
+           floor(l_extendedprice)::BIGINT AS price_floor,
+           power(l_quantity, 2) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_extendedprice / nullif(l_quantity - 25, 0) AS try_div
+    FROM lineitem
+    """,
+)
+def fn_math_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math core under ANSI mode: try_divide guards the reachable zero
+    (l_quantity = 25). sqrt/abs/+/- are IEEE-exact → raw; ln is libm-backed →
+    rounded 6; ceil/floor cast to BIGINT on the oracle (DuckDB returns
+    DOUBLE)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.power("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.ln("l_extendedprice"), 6).alias("ln_price"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias("try_div"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT AS k,
+           json_extract(props, '$.k')::BIGINT * 2 AS k2,
+           json_extract(props, '$.missing')::BIGINT AS k_missing
+    FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string field extraction with a missing-path NULL case; both
+    sides cast to BIGINT (get_json_object returns string, json_extract
+    returns JSON)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k2"),
+        F.get_json_object("props", "$.missing").cast("long").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_array_core",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(generate_series(1, l_linenumber), ',') AS seq_str,
+           len(generate_series(1, l_linenumber)) AS seq_len,
+           array_to_string(generate_series(1, l_linenumber)[1:2], ',') AS seq_head2,
+           coalesce(array_to_string(list_sort(list_intersect(
+             generate_series(1, l_linenumber), [2, 3, 4])), ','), '') AS seq_inter
+    FROM lineitem
+    """,
+)
+def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/slice/intersect/size over derived arrays. Array
+    outputs are stringified (array_join) — raw list columns are not
+    hash-stable across engines; intersect results are sorted first (set
+    order is undefined in both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(seq, ",").alias("seq_str"),
+        F.size(seq).alias("seq_len"),
+        F.array_join(F.slice(seq, 1, 2), ",").alias("seq_head2"),
+        F.array_join(
+            F.sort_array(F.array_intersect(seq, F.array(F.lit(2), F.lit(3), F.lit(4)))), ","
+        ).alias("seq_inter"),
+    )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 6) AS l2norm2,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+           round(list_aggregate(list_filter(embedding::DOUBLE[], x -> x > 0),
+                                'sum'), 6) AS sum_pos
+    FROM embeddings
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array fns (transform / filter / aggregate) — the JVM-side
+    lambda path, no Python UDF. float→double cast on BOTH sides before the
+    fold; fold order is left-to-right sequential in both engines, rounded 6
+    to absorb any reassociation."""
+    emb = load(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    pos = F.filter(arr, lambda x: x > 0)
+    zero = F.lit(0.0)
+    return emb.select(
+        "vec_id",
+        F.round(F.aggregate(arr, zero, lambda acc, x: acc + x * x), 6).alias("l2norm2"),
+        F.size(pos).alias("n_pos"),
+        F.round(F.aggregate(pos, zero, lambda acc, x: acc + x), 6).alias("sum_pos"),
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT p_partkey,
+           'brand,type' AS mkeys,
+           p_brand || ',' || p_type AS mvals,
+           p_size * 2 AS doubled_from_map
+    FROM part
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction (str_to_map, map_from_entries) with hash-stable
+    output: sorted keys + values-in-key-order strings, never a raw MapType
+    (map ordering is undefined). The oracle states the expected *values*
+    directly — DuckDB has no str_to_map, and the point of the check is the
+    map round-trip, which SQL can assert without maps."""
+    p = load(spark, sf_dir, "part")
+    m = F.str_to_map(
+        F.concat(F.lit("brand:"), F.col("p_brand"), F.lit(",type:"), F.col("p_type")),
+        F.lit(","),
+        F.lit(":"),
+    )
+    skeys = F.sort_array(F.map_keys(m))
+    m2 = F.map_from_entries(
+        F.arrays_zip(
+            F.array(F.lit("a"), F.lit("b")),
+            F.array(F.col("p_size"), F.col("p_size") * 2),
+        )
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(skeys, ",").alias("mkeys"),
+        F.array_join(F.transform(skeys, lambda k: F.element_at(m, k)), ",").alias("mvals"),
+        F.element_at(m2, "b").alias("doubled_from_map"),
+    )
+
+
+@query(
+    "fn_cast_coerce",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(string_split(p_brand, '#')[2] AS INTEGER) AS brand_num,
+           TRY_CAST(p_name AS DOUBLE) AS not_a_number,
+           p_size::VARCHAR AS size_str,
+           floor(p_retailprice)::BIGINT AS price_floor_long,
+           ((2000 + p_size % 20)::VARCHAR || '-01-15')::TIMESTAMP AS derived_ts
+    FROM part
+    """,
+)
+def fn_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI casts + try_cast for malformed input (p_name as double → NULL
+    instead of a runtime error under ansi=true)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_element_at(F.split("p_brand", "#"), F.lit(2)).cast("int").alias("brand_num"),
+        F.col("p_name").try_cast("double").alias("not_a_number"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.floor("p_retailprice").alias("price_floor_long"),
+        F.concat((F.lit(2000) + F.col("p_size") % 20).cast("string"), F.lit("-01-15"))
+        .cast("timestamp_ntz")
+        .alias("derived_ts"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 5000.0) AS bal_floor_5k,
+           least(c_acctbal, 0.0) AS bal_cap_0
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_floor_5k"),
+        F.least(F.col("c_acctbal"), F.lit(0.0)).alias("bal_cap_0"),
+    )
