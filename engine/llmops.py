@@ -1,1 +1,358 @@
-"""(stub — operators added in later milestone)"""
+"""LLM-training-data pipeline operators: SURVEY.md §2.I.
+
+Dedup (exact / key-latest / MinHash-LSH near-dup), embedding similarity
+(top-k pairs, kNN), text analysis (token counts, tf-idf, n-grams, lexicon
+sentiment), and the text↔embedding multimodal join.
+
+Scale designs (100 TB):
+- near-dup: MinHash-LSH banding — candidate generation is an equi-join on
+  (band, bucket), never a cross join.
+- similarity: brute-force dot is the oracle-checkable baseline; the LSH/ANN
+  variants live in engine.simsearch. Embeddings are L2-normalized (FIXTURES)
+  so cosine ≡ dot product.
+- all token pipelines are explode → hash-aggregate: linear, shuffle on
+  (doc_id, token)-sized keys, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.registry import query
+from engine.tables import load
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, substr(text, 1, 40) AS prefix40 FROM documents
+    QUALIFY row_number() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic survivor (min doc_id per key).
+
+    Keyed on substr(text,1,40): the corpus has no exact-duplicate texts but
+    does plant shared 40-char prefixes (FIXTURES). dropDuplicates() keeps an
+    arbitrary row; the window form pins the survivor — required for oracle
+    parity and for reproducible ETL reruns (upsert semantics).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("prefix40").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.substring("text", 1, 40).alias("prefix40"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_key_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dedup_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL upsert semantics: one row per key, latest wins (ts, then event_id
+    as the total-order tie-break). 100 TB: this is a single hash shuffle on
+    the key; WindowGroupLimit keeps per-partition state at 1 row per key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query("dedup_near_minhash")  # ROWS: LSH banding is not SQL-expressible
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate doc pairs via MinHash-LSH over 5-char shingles.
+
+    Pipeline: shingle (JVM-side transform) → HashingTF(2^18) → MinHashLSH
+    (8 tables, seed=42) → approxSimilarityJoin at Jaccard distance ≤ 0.6.
+    Fixed seed ⇒ deterministic. Recall vs exact Jaccard is unit-tested at
+    sf0.001 (tests/test_llmops.py).
+
+    100 TB: approxSimilarityJoin explodes each doc into its hash buckets and
+    equi-joins on the bucket — candidate pairs only, never O(n²).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> substring(text, i, 5))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):  # JVM-side higher-order dot product, float→double first
+    return F.aggregate(
+        F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "sim_topk_pairs",
+    oracle="""
+    SELECT a_id, b_id, sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) ORDER BY sim DESC, a_id, b_id LIMIT 10
+    """,
+)
+def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-similar embedding pairs by cosine (≡ dot, vectors are
+    L2-normalized). Brute-force pair join + TakeOrderedAndProject — correct
+    at oracle scale; rounded sim IS the sort key (with id tie-breaks) so the
+    top-10 cut is identical across engines.
+
+    100 TB: the pair space is O(n²) — engine.simsearch provides the LSH
+    blocking variant (sim_ann_lsh) that generates candidates via bucket
+    equi-join; this key stays the exactness baseline.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", F.round(_dot(F.col("ea"), F.col("eb")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "a_id", "b_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_knn_query",
+    oracle="""
+    SELECT vec_id, label, sim FROM (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      WHERE e.vec_id <> 0
+    ) ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN of one probe vector (vec_id=0): broadcast the single probe row,
+    JVM-side dot, top-k heap. The probe side is O(1) — this shape scales to
+    any corpus size with zero shuffle (scan + local top-k + driver merge)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("embedding"), F.col("probe_emb")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """explode(split) tokenization — corpus is space-separated lowercase."""
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) t GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies (count aliased cnt, alphabetical
+    tie-break)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfq FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, round(tf * ln(n_docs::DOUBLE / dfq::DOUBLE), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, token LIMIT 100
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, term), top-100 — pure DataFrame (no ml.IDF) so it
+    stays SQL-expressible. N arrives via a broadcast 1-row cross join, not a
+    driver-side collect."""
+    d = load(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("dfq"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.ln(F.col("n_docs").cast("double") / F.col("dfq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "token")
+        .limit(100)
+    )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+    SELECT s[i] || ' ' || s[i + 1] AS bigram, count(*) AS cnt
+    FROM t, unnest(range(1, len(s))) AS u(i)
+    GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram frequencies via JVM-side transform over the token array
+    (no Python UDF, no ml.NGram — keeps it SQL-expressible for the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("s"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(s) - 1, 0)), i -> s[i-1] || ' ' || s[i])")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_POS_WORDS = ["fast", "key", "value"]
+_NEG_WORDS = ["slow", "big", "scan"]
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(token, polarity) AS (VALUES
+      {", ".join(f"('{w}', 1)" for w in _POS_WORDS)},
+      {", ".join(f"('{w}', -1)" for w in _NEG_WORDS)}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    score AS (SELECT doc_id, sum(polarity) AS raw FROM tok JOIN lex USING (token) GROUP BY 1)
+    SELECT d.doc_id,
+           round(coalesce(raw, 0)::DOUBLE / len(string_split(text, ' '))::DOUBLE, 6)
+             AS sentiment
+    FROM documents d LEFT JOIN score ON d.doc_id = score.doc_id
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity: (Σ polarity of matched tokens) / token count,
+    via a broadcast join against the in-code lexicon (all words exist in the
+    corpus vocabulary). Docs with no lexicon hits score 0."""
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS], ["token", "polarity"]
+    )
+    score = (
+        _tokens(d)
+        .join(F.broadcast(lex), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("polarity").alias("raw"))
+    )
+    return d.join(score, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("raw"), F.lit(0)).cast("double")
+            / F.size(F.split("text", " ")).cast("double"),
+            6,
+        ).alias("sentiment"),
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    SELECT label, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔embedding modality join (doc_id = vec_id; inner join because the
+    modalities scale differently at sf0.1 — FIXTURES), per-label doc stats."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""LLM-pipeline operator tests beyond the oracle harness (SURVEY §5.4).
+
+The FULL-oracle §2.I keys are covered by tests/test_vs_duckdb.py; here we
+check the properties the oracle can't: MinHash-LSH recall vs exact Jaccard,
+determinism of the LSH pipeline, and similarity-math invariants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _exact_jaccard_pairs(spark, sf_dir: str, threshold: float):
+    """Ground truth: exact Jaccard over 5-char shingle sets, distance <= t."""
+    from engine.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 1)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (1 - inter / union).alias("dist"))
+        .filter(F.col("dist") <= threshold)
+    )
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidate set must recover >=80% of true near-dup pairs at d<=0.6
+    and every planted 40-char-prefix pair group must be represented."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in queries["dedup_near_minhash"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id)
+        for r in _exact_jaccard_pairs(spark, SF_DIR, 0.6).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
+
+
+def test_minhash_deterministic(spark):
+    """Fixed seed => identical pair set across runs."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    r1 = [tuple(r) for r in queries["dedup_near_minhash"](spark, SF_DIR).collect()]
+    r2 = [tuple(r) for r in queries["dedup_near_minhash"](spark, SF_DIR).collect()]
+    assert r1 == r2
+
+
+def test_cosine_self_similarity(spark):
+    """Embeddings are L2-normalized: self-dot == 1 +/- 1e-3."""
+    from engine.llmops import _dot
+    from engine.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    bad = (
+        emb.select(_dot(F.col("embedding"), F.col("embedding")).alias("s"))
+        .filter((F.col("s") < 0.999) | (F.col("s") > 1.001))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dedup_exact_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x): survivors have unique keys."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    out = queries["dedup_exact"](spark, SF_DIR)
+    n = out.count()
+    assert out.select("prefix40").distinct().count() == n
