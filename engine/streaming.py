@@ -1,1 +1,265 @@
-"""(stub — operators added in later milestone)"""
+"""Streaming-shaped operators: SURVEY.md §2.J.
+
+The driver's oracle is DuckDB over static tables, so the window semantics
+(tumbling / sliding / session) ship as batch DataFrame queries over ``events``
+— hash-checkable FULL — while the genuinely streaming pieces
+(watermark dedup, arbitrary stateful processing) run a real Structured
+Streaming query (``readStream`` → ``Trigger.AvailableNow`` → memory sink) and
+get the driver's rows-only check. ``tests/test_streaming.py`` covers
+batch-vs-stream equivalence and late-data drops.
+
+Scale notes (100 TB):
+- Tumbling/sliding windows are plain hash aggregations keyed on
+  (window, event_type) — map-side partial agg applies; a sliding window
+  multiplies rows by (size/slide) BEFORE the partial agg, so slide ratios are
+  kept small (4× here).
+- Session windows shuffle once on user_id; Spark's SessionWindow merge is a
+  sort-within-partition, no driver state.
+- Streaming state (dedup set, per-key counters) is keyed + watermark-bounded:
+  state size is O(keys in the watermark horizon), not O(stream length).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine.registry import query
+from engine.tables import load
+
+# ---------------------------------------------------------------------------
+# batch-equivalent window semantics (FULL oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window × event_type.
+
+    ``F.window`` on a timestamp_ntz column; we emit window.start (equal to
+    DuckDB's time_bucket since epoch-aligned). Pure hash aggregate: partial
+    combine map-side, one shuffle on (window_start, event_type)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+@query(
+    "stream_sliding_1h_15m",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b15, value FROM events),
+         w AS (SELECT b15 - k * INTERVAL '15 minutes' AS window_start, value
+               FROM b, unnest([0, 1, 2, 3]) AS u(k))
+    SELECT window_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY 1
+    """,
+)
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes.
+
+    Spark assigns each event to size/slide = 4 windows (same expansion the
+    oracle builds via unnest of 4 offsets). The 4× row blow-up happens
+    map-side and is immediately collapsed by partial aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+@query(
+    "stream_session_30m",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(epoch(max(ts) - min(ts)), 1) AS duration_s
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Spark ``session_window`` merges events whose [ts, ts+gap) ranges overlap:
+    a gap of EXACTLY 30 minutes starts a new session, hence the oracle's
+    ``>=`` in the gap-and-islands rewrite (boundary semantics verified at
+    sf0.001 — SURVEY §7.3 risk #2). Duration is last−first event (window.end
+    includes the +gap padding, so compute from min/max ts instead)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 1e6,
+                1,
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# true Structured Streaming (ROWS — engine-internal semantics)
+# ---------------------------------------------------------------------------
+
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos in the raw parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the nanos→ntz conversion
+    applied (file source needs an explicit schema; the raw column is int64).
+
+    The streaming file source wants a DIRECTORY to monitor; the corpus is a
+    single file, so we expose it through a temp dir of symlinks (read-only —
+    nothing under /root/testdata is touched)."""
+    import os
+
+    from engine.session import tune
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="sg-events-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(d)
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink; return the completed result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"sg-{name}-")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_watermark_dedup")  # ROWS: watermark semantics are engine-internal
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup of event_id under a 1-hour watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded: an id is
+    remembered only until the watermark passes its timestamp + 1h, so state is
+    O(events per hour), not O(stream) — the property that makes streaming
+    dedup feasible at 100 TB/day. Late-duplicate injection is unit-tested in
+    tests/test_streaming.py."""
+    s = read_events_stream(spark, sf_dir)
+    # Watermark requires TimestampType (not NTZ) in streaming state ops.
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    dd = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_memory(dd.select("event_id", "user_id", "event_type"), "sg_wm_dedup")
+    return out.orderBy("event_id")
+
+
+_COUNTER_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_COUNTER_STATE = T.StructType([T.StructField("n", T.LongType())])
+
+
+def _count_events(key, pdf_iter, state):
+    """applyInPandasWithState update fn: running per-user event counter."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    import pandas as pd
+
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+@query("stream_stateful_counter")  # ROWS: arbitrary state is not SQL-expressible
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state: running per-user event counter via
+    ``applyInPandasWithState`` (GroupState keyed by user_id, Arrow-batched).
+
+    State is one int per user — keyed, so it shards with the shuffle; emits on
+    every trigger with the updated count. Batch cross-check (groupBy.count)
+    in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    counted = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_events,
+            outputStructType=_COUNTER_OUT,
+            stateStructType=_COUNTER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    spark_df = run_to_memory_update(counted, "sg_state_counter")
+    return spark_df.orderBy("user_id")
+
+
+def run_to_memory_update(stream_df: DataFrame, name: str) -> DataFrame:
+    """Like run_to_memory but with update output mode (stateful emits)."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"sg-{name}-")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
