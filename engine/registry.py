@@ -26,6 +26,9 @@ _OPERATOR_MODULES = [
     "engine.windows",
     "engine.functions",
     "engine.llmops",
+    "engine.textops",
+    "engine.simsearch",
+    "engine.multimodal",
     "engine.streaming",
     "engine.udfs",
 ]

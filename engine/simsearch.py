@@ -1,0 +1,142 @@
+"""Similarity search beyond brute force: embedding-cosine near-dup and the
+IVF-bucketed approximate-nearest-neighbor scale path.
+
+The brute-force baselines live in engine.llmops (sim_topk_pairs /
+sim_knn_query — blocked BLAS matmul). This module adds:
+
+- ``dedup_embedding_cosine``: all pairs above a cosine threshold (the
+  embedding near-dup primitive for training-data curation) — FULL oracle via
+  DuckDB list_dot_product.
+- ``sim_ann_ivf``: inverted-file ANN — deterministic coarse centroids,
+  multi-probe assignment, per-cluster exact search. ROWS (random-projection /
+  centroid assignment is not SQL-expressible); recall vs brute force is
+  unit-tested (tests/test_simsearch.py).
+
+Scale notes (100 TB): the IVF shape is the one that survives — assignment is
+a map-side matmul against broadcast centroids, candidate generation becomes a
+shuffle on cluster_id, and per-cluster exact search is a bounded blocked
+matmul. Nothing is O(n²) in the corpus; the probe count trades recall for
+cost. Embeddings are L2-normalized (FIXTURES) so cosine ≡ dot everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+_COS_THRESH = 0.4  # corpus max pair-sim is 0.51; 0.4 keeps a small stable set
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_THRESH}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.4 (cosine ≡ dot on the
+    L2-normalized corpus). Blocked BLAS matmul per Arrow batch against a
+    broadcast matrix — same kernel as sim_topk_pairs but threshold-cut
+    instead of top-k, so output size is data-dependent and exact.
+
+    100 TB: swap the broadcast side for IVF buckets (sim_ann_ivf's layout)
+    and run the identical block kernel per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    side = emb.select("vec_id", "embedding").toPandas()
+    b_ids = side["vec_id"].to_numpy()
+    b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    thresh = _COS_THRESH
+
+    def block_pairs(batches):
+        ids_all, m_all = bc.value
+        for pb in batches:
+            a_ids = pb["vec_id"].to_numpy()
+            a_mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
+            sims = a_mat @ m_all.T
+            ai, bi = np.nonzero((a_ids[:, None] < ids_all[None, :]) & (sims >= thresh))
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": ids_all[bi],
+                    "sim": np.round(sims[ai, bi], 4),
+                }
+            )
+
+    return emb.mapInPandas(block_pairs, "a_id long, b_id long, sim double")
+
+
+@query("sim_ann_ivf")  # ROWS: centroid assignment is not SQL-expressible
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 similar pairs via IVF: 8 deterministic coarse
+    centroids (the 8 lowest-vec_id vectors), each vector assigned to its
+    nprobe=3 nearest centroids, exact blocked search within each cluster,
+    global top-k merge. Compare sim_topk_pairs for the exact answer;
+    tests/test_simsearch.py pins the recall.
+
+    100 TB: assignment = map-side matmul vs broadcast centroids (no shuffle),
+    candidates = one shuffle on cluster_id, per-cluster search bounded by
+    cluster size — replaces the O(n²) pair space with Σ_c |c|²."""
+    import numpy as np
+    import pandas as pd
+
+    k = 10
+    nprobe = 3
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id").limit(8).select("embedding").toPandas()
+    )
+    c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def assign(batches):
+        c = bc.value
+        for pb in batches:
+            v_ids = pb["vec_id"].to_numpy()
+            mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
+            sims = mat @ c.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(v_ids)
+            yield pd.DataFrame(
+                {
+                    "cluster": top.ravel(),
+                    "vec_id": np.repeat(v_ids, nprobe),
+                    "embedding": [pb["embedding"].iloc[i] for i in np.repeat(np.arange(n), nprobe)],
+                }
+            )
+
+    assigned = emb.mapInPandas(assign, "cluster int, vec_id long, embedding array<float>")
+
+    def cluster_topk(key, pdf):
+        v_ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = np.round(mat @ mat.T, 4)
+        ai, bi = np.nonzero(v_ids[:, None] < v_ids[None, :])
+        s = sims[ai, bi]
+        if len(s) > k:
+            thresh = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= thresh
+            ai, bi, s = ai[keep], bi[keep], s[keep]
+        order = np.lexsort((v_ids[bi], v_ids[ai], -s))[:k]
+        return pd.DataFrame(
+            {"a_id": v_ids[ai][order], "b_id": v_ids[bi][order], "sim": s[order]}
+        )
+
+    per_cluster = assigned.groupBy("cluster").applyInPandas(
+        cluster_topk, "a_id long, b_id long, sim double"
+    )
+    # a pair probed into two shared clusters appears twice — dedup, then top-k
+    return (
+        per_cluster.dropDuplicates(["a_id", "b_id"])
+        .orderBy(F.col("sim").desc(), "a_id", "b_id")
+        .limit(k)
+    )

@@ -1,0 +1,78 @@
+"""Properties of the training-data operators that the DuckDB oracle can't
+express: SimHash Hamming locality, IVF-ANN recall vs brute force, and the
+multimodal decode plumbing (schema, determinism, stub gating)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_simhash_hamming_locality(spark):
+    """Near-dup doc pairs (word-3-gram Jaccard >= 0.2) must sit closer in
+    SimHash Hamming distance than the average random pair."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    sh = {r.doc_id: r.simhash for r in queries["dedup_simhash"](spark, SF_DIR).collect()}
+    near = [(r.a_id, r.b_id) for r in queries["dedup_ngram_jaccard"](spark, SF_DIR).collect()]
+    assert near, "corpus should contain near-dup pairs"
+
+    def ham(a, b):
+        return bin(sh[a] ^ sh[b]).count("1")
+
+    near_avg = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sh)[:60]
+    rand = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    rand_avg = sum(ham(a, b) for a, b in rand) / len(rand)
+    assert near_avg < rand_avg * 0.6, (near_avg, rand_avg)
+
+
+def test_ann_ivf_recall(spark):
+    """IVF top-10 must recover a usable fraction of the exact top-10 pairs.
+    The corpus embeddings are near-random (max pair cosine ~0.5) — the ANN
+    worst case — so the floor is deliberately modest."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    exact = {(r.a_id, r.b_id) for r in queries["sim_topk_pairs"](spark, SF_DIR).collect()}
+    approx = {(r.a_id, r.b_id) for r in queries["sim_ann_ivf"](spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall:.2f}"
+    # every reported pair must carry its true sim: spot check determinism
+    r2 = {(r.a_id, r.b_id) for r in queries["sim_ann_ivf"](spark, SF_DIR).collect()}
+    assert approx == r2
+
+
+def test_multimodal_decode_shapes(spark):
+    """Decode output: one row per doc, fixed 4x4 feature vector, floats."""
+    from engine.multimodal import THUMB, binary_table
+    from engine.registry import collect
+
+    queries, _ = collect()
+    out = queries["multimodal_decode_pipeline"](spark, SF_DIR).collect()
+    n_docs = binary_table(spark, SF_DIR).count()
+    assert len(out) == n_docs
+    for r in out[:20]:
+        assert r.width == THUMB and r.height == THUMB
+        assert len(r.features) == THUMB * THUMB
+        assert all(isinstance(f, float) for f in r.features)
+
+
+def test_multimodal_real_decoder_gated():
+    """The real decoder must raise a clearly-marked NotImplementedError in
+    this container (codec libs absent), not crash obscurely."""
+    from engine.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        _decode_real(b"\x89PNG fake")
+
+
+def test_fake_decode_deterministic():
+    from engine.multimodal import _decode_fake
+
+    a = _decode_fake(b"hello world, this is a fake image payload", 16)
+    b = _decode_fake(b"hello world, this is a fake image payload", 16)
+    assert a == b and len(a) == 16
+    assert _decode_fake(b"", 16) == [0.0] * 16
