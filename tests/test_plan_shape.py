@@ -1,0 +1,68 @@
+"""Plan-shape regression net (SURVEY §5.4): the physical-plan features the
+scale design depends on. A refactor that silently turns a broadcast join into
+a sort-merge join, or loses a pushed filter, fails here — long before it
+would show up as a 100 TB incident."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, key: str) -> str:
+    from engine.registry import collect
+
+    queries, _ = collect()
+    return queries[key](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "join_star_multiway")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "filter_compound")
+    assert re.search(r"PushedFilters: \[[^\]]", plan), plan
+
+
+def test_scan_prunes_columns(spark):
+    # Q1 needs 7 of 11 lineitem cols; the key columns must be pruned out of
+    # the parquet read (the plan string truncates ReadSchema, so assert on
+    # the leading, untruncated part).
+    plan = _plan(spark, "agg_group_hash")
+    m = re.search(r"ReadSchema: struct<[^\n]*", plan)
+    assert m, plan
+    head = m.group(0)
+    assert "l_quantity" in head
+    assert "l_orderkey" not in head and "l_partkey" not in head, head
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "topk_order_limit")
+
+
+def test_window_topk_uses_group_limit(spark):
+    # rank-filter pushdown: per-partition top-k state instead of full sort+filter
+    assert "WindowGroupLimit" in _plan(spark, "win_row_number_topk")
+    assert "WindowGroupLimit" in _plan(spark, "dedup_key_latest")
+
+
+def test_broadcast_hint_respected(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "join_broadcast_hint")
+
+
+def test_partition_prune(spark):
+    # partition-column filter must prune at the source, not post-filter
+    plan = _plan(spark, "scan_partition_prune")
+    assert "PartitionFilters: [" in plan, plan
+
+
+def test_no_cartesian_in_similarity(spark):
+    # the blocked-matmul rewrite must keep cross joins out of the plan
+    plan = _plan(spark, "sim_topk_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,118 @@
+"""Algebraic invariants (SURVEY §5.4): laws that need no oracle. Spark-side
+laws use a few parametrized points (each example costs a Spark job); the
+pure-Python kernels get full Hypothesis treatment."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR
+
+
+@pytest.mark.parametrize("status", ["F", "O", "P"])
+def test_semi_anti_partition_law(spark, status):
+    """left_semi ∪ left_anti == left, disjointly, for any predicate side."""
+    from engine.tables import load
+    import pyspark.sql.functions as F
+
+    cust = load(spark, SF_DIR, "customer")
+    orders = load(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == status)
+    cond = cust.c_custkey == orders.o_custkey
+    n_semi = cust.join(orders, cond, "left_semi").count()
+    n_anti = cust.join(orders, cond, "left_anti").count()
+    assert n_semi + n_anti == cust.count()
+
+
+def test_dedup_idempotent(spark):
+    from engine.registry import collect
+
+    queries, _ = collect()
+    out = queries["dedup_key_latest"](spark, SF_DIR)
+    once = out.count()
+    # applying the same key-latest rule to its own output changes nothing
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    twice = (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).count()
+    )
+    assert once == twice
+
+
+def test_union_except_counting_law(spark):
+    """|A ∪all B| = |A| + |B| and |A \\all B| = |A| - |A ∩all B| on bags."""
+    from engine.tables import load
+
+    a = load(spark, SF_DIR, "orders").select("o_custkey").filter("o_custkey % 3 = 0")
+    b = load(spark, SF_DIR, "orders").select("o_custkey").filter("o_custkey % 2 = 0")
+    assert a.unionAll(b).count() == a.count() + b.count()
+    assert a.exceptAll(b).count() == a.count() - a.intersectAll(b).count()
+
+
+def test_window_sum_matches_group_sum(spark):
+    """The last running-sum value per key == the group total."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    from engine.tables import load
+
+    o = load(spark, SF_DIR, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = o.select(
+        "o_custkey", F.round(F.sum("o_totalprice").over(w), 2).alias("r")
+    ).groupBy("o_custkey").agg(F.max("r").alias("last_run"))
+    grp = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("tot"))
+    bad = (
+        run.join(grp, "o_custkey")
+        .filter(F.abs(F.col("last_run") - F.col("tot")) > 0.011)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_session_count_monotone_in_gap(spark):
+    """Fewer (or equal) sessions as the inactivity gap grows."""
+    import pyspark.sql.functions as F
+    from engine.tables import load
+
+    e = load(spark, SF_DIR, "events")
+    counts = []
+    for gap in ["5 minutes", "30 minutes", "3 hours"]:
+        counts.append(
+            e.groupBy(F.session_window("ts", gap), "user_id").count().count()
+        )
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+# --- pure-Python kernels: full Hypothesis ----------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512), st.integers(min_value=1, max_value=64))
+def test_fake_decode_total(buf, n_cells):
+    """_decode_fake is total: fixed length, finite floats, deterministic."""
+    from engine.multimodal import _decode_fake
+
+    out = _decode_fake(buf, n_cells)
+    assert len(out) == n_cells
+    assert all(0.0 <= v <= 255.0 for v in out)
+    assert out == _decode_fake(buf, n_cells)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+def test_poly_hash_range(s):
+    """The cross-engine polynomial hash stays in [0, 2^31) for any ASCII
+    token — the invariant that keeps (acc*131+c) overflow-free in int64."""
+    h = 0
+    for ch in s:
+        h = (h * 131 + ord(ch)) % 2147483647
+    assert 0 <= h < 2147483647
