@@ -1,0 +1,191 @@
+"""ETL pipeline operators — the reference's own job shape (SURVEY §0.1:
+extract a source export, validate/clean fields, deduplicate, upsert into a
+keyed datastore table), re-expressed as Spark batch operators.
+
+- ``etl_validate_quarantine``: schema/domain validation that routes failing
+  rows to a quarantine output instead of failing the job (the marshmallow-
+  style field-validation step of classic ETL frameworks). Emitted here as
+  one DataFrame with a ``violations`` column (empty array = clean) so the
+  full pipeline stays one pass; callers split with a filter.
+- ``etl_clean_coerce``: tolerant type coercion — try_cast semantics over a
+  deliberately dirtied string column, ANSI-safe on both engines.
+- ``etl_upsert_keyed``: CKAN-DataStore-style upsert — existing table ∪ new
+  batch, one row per primary key, newest wins — proven through an actual
+  parquet read-modify-write round-trip, not just a dedup expression.
+
+Scale notes (100 TB): validation and coercion are zero-shuffle projections;
+the upsert is one hash shuffle on the key (WindowGroupLimit keeps per-key
+state at 1 row). The parquet rewrite pattern is the local stand-in for a
+MERGE INTO on a table format (Delta/Iceberg) — the operator boundary is the
+same, only the sink changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.registry import query
+from engine.tables import load
+
+_TMP = tempfile.gettempdir()
+
+
+@query(
+    "etl_validate_quarantine",
+    oracle="""
+    SELECT c_custkey,
+           list_sort(list_filter([
+             CASE WHEN c_acctbal < -1000 OR c_acctbal > 11000
+                  THEN 'acctbal_range' END,
+             CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                            'HOUSEHOLD','MACHINERY')
+                  THEN 'bad_segment' END,
+             CASE WHEN length(c_name) < 5 THEN 'short_name' END
+           ], x -> x IS NOT NULL)) AS violations,
+           (c_acctbal >= -1000 AND c_acctbal <= 11000
+            AND c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                 'HOUSEHOLD','MACHINERY')
+            AND length(c_name) >= 5) AS is_valid
+    FROM customer
+    """,
+)
+def etl_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field validation with quarantine routing: every row keeps a sorted
+    array of rule violations plus an is_valid flag — one zero-shuffle pass;
+    `filter(is_valid)` is the load stream, `filter(!is_valid)` the
+    quarantine. Rules are declarative Column predicates, so adding one is a
+    one-line change and Catalyst folds them into the same projection."""
+    c = load(spark, sf_dir, "customer")
+    rules = [
+        ("acctbal_range", (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 11000)),
+        (
+            "bad_segment",
+            ~F.col("c_mktsegment").isin(
+                "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+            ),
+        ),
+        ("short_name", F.length("c_name") < 5),
+    ]
+    viol = F.array_sort(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return c.select(
+        "c_custkey",
+        viol.alias("violations"),
+        (F.size(viol) == 0).alias("is_valid"),
+    )
+
+
+@query(
+    "etl_clean_coerce",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST('not a number' AS DOUBLE) AS always_null,
+           coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+             AS k_defaulted
+    FROM events
+    """,
+)
+def etl_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant coercion: try_cast turns malformed values into NULL instead
+    of failing the job under ANSI mode, with an explicit default — the
+    clean-step contract of a pipeline that must never abort mid-load."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        F.lit("not a number").try_cast("double").alias("always_null"),
+        F.coalesce(k, F.lit(-1)).alias("k_defaulted"),
+    )
+
+
+@query(
+    "etl_upsert_keyed",
+    oracle="""
+    WITH unioned AS (
+      SELECT user_id, event_type, event_id, ts, value, 0 AS batch
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT user_id, event_type, event_id, ts, value + 1000, 1
+      FROM events WHERE event_id % 3 = 0)
+    SELECT user_id, event_type, event_id, ts, round(value, 2) AS value
+    FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY batch DESC, ts DESC, event_id DESC) = 1
+    """,
+)
+def etl_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert through a real parquet round-trip: an 'existing' table
+    (even event_ids) is written out, then a 'new batch' (every third event,
+    values shifted) is merged — newest batch wins per (user_id, event_type),
+    ties broken by ts then event_id. This is the reference's DataStore
+    upsert re-expressed: union + window-dedup + atomic rewrite.
+
+    100 TB: same operator over Delta/Iceberg becomes MERGE INTO with file
+    pruning on the key; the union+window plan here is the engine-agnostic
+    fallback and costs exactly one shuffle."""
+    e = load(spark, sf_dir, "events")
+    path = f"{_TMP}/spark_graft_upsert_events"
+    existing = e.filter(F.col("event_id") % 2 == 0).withColumn("batch", F.lit(0))
+    existing.write.mode("overwrite").parquet(path)
+    new_batch = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("batch", F.lit(1))
+    )
+    unioned = spark.read.parquet(path).unionByName(new_batch)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("batch").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "stream_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT time_bucket(INTERVAL '1 day', h) AS day_start, event_type,
+           sum(cnt)::BIGINT AS cnt, round(sum(sv), 2) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable continuous-aggregate shape):
+    daily aggregates computed FROM the hourly aggregates, not the raw rows —
+    at 100 TB the cascade means each coarser grain reads the (tiny) finer
+    aggregate, and count/sum re-aggregate losslessly."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+    return (
+        hourly.select(F.col("w.start").alias("h"), "event_type", "cnt", "sv")
+        .groupBy(F.window("h", "1 day").alias("d"), "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .select(F.col("d.start").alias("day_start"), "event_type", "cnt", "sum_value")
+    )

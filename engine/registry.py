@@ -25,6 +25,7 @@ _OPERATOR_MODULES = [
     "engine.aggs",
     "engine.windows",
     "engine.functions",
+    "engine.etl",
     "engine.extras",
     "engine.llmops",
     "engine.textops",
