@@ -278,3 +278,28 @@ def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(stddev_pop(l_discount), 6) AS sd_disc,
+           round(var_samp(l_tax), 6) AS var_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev / variance) — all
+    single-pass partial-aggregable moments, same shuffle profile as sum()."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+    )

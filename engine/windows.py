@@ -195,3 +195,35 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("top_name"),
         F.last("c_name").over(w_full).alias("bottom_name"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr,
+           nth_value(c_name, 3) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS third_name
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist, percent_rank, nth_value
+    (explicit full frame — the default frame would truncate nth_value at the
+    current row). One shuffle on the partition key, sort within."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.nth_value("c_name", 3).over(w_full).alias("third_name"),
+    )

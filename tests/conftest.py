@@ -48,6 +48,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.astype("Int64")
         elif pd.api.types.is_bool_dtype(col):
             df[c] = col.astype("boolean")
+        elif col.dtype == object:
+            # array-typed results (Spark arrays / DuckDB lists) arrive as
+            # ndarrays or lists — not sortable/comparable; canonicalize
+            df[c] = col.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
     return df.reset_index(drop=True)
