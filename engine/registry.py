@@ -27,6 +27,8 @@ _OPERATOR_MODULES = [
     "engine.functions",
     "engine.etl",
     "engine.extras",
+    "engine.analytics",
+    "engine.trainext",
     "engine.llmops",
     "engine.textops",
     "engine.simsearch",

@@ -1,0 +1,164 @@
+"""Training-data pipeline extensions, round 1 batch 2: document chunking,
+normalization, and fuzzy (edit-distance) vocabulary dedup.
+
+These extend SURVEY §2.L — the LLM-corpus preparation surface. Chunking is
+the step between dedup and tokenization in every pretraining pipeline
+(fixed-token windows with overlap); normalization is the canonical text
+cleanup (stopword/short-token removal); fuzzy dedup canonicalizes a
+near-duplicate value vocabulary via banded edit-distance join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(s / {STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, s + 1, s + {CHUNK})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + {CHUNK}), ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, len(toks) - 1, {STRIDE})) AS u(s)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token chunks every 24 tokens
+    (8-token overlap) — the context-window packing step of a pretraining
+    pipeline. Pure array expressions (split/sequence/explode/slice): no
+    Python, no shuffle — chunking is embarrassingly parallel and the explode
+    fan-out (~n_tokens/stride per doc) happens inside whole-stage codegen.
+    At 100 TB the only knob is output partition sizing: chunk fan-out
+    multiplies bytes ~1.33x (overlap/stride), so repartition before a
+    parquet sink to keep file sizes bounded."""
+    toks = F.split(F.col("text"), " ")
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), F.size(toks) - 1, F.lit(STRIDE))).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK)
+    return df.select(
+        "doc_id",
+        (F.col("s") / STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "text_normalize_stopwords",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         t -> NOT list_contains(['the', 'a', 'of', 'to', 'and'], t)
+                              AND length(t) > 1) AS kept
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, ' ') AS normalized
+    FROM t
+    """,
+)
+def text_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, drop stopwords and 1-char tokens,
+    re-join. The filter lambda runs as a JVM higher-order function over the
+    token array — one narrow projection, zero shuffle, fully codegen'd.
+    The stopword list is inlined as a literal array; at scale a large list
+    would become a broadcast join against an exploded token table instead
+    (that variant is text_lang_id's shape)."""
+    kept = F.expr(
+        "filter(split(lower(text), ' '), "
+        "t -> NOT array_contains(array('the', 'a', 'of', 'to', 'and'), t) "
+        "AND length(t) > 1)"
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("normalized"),
+    )
+
+
+@query(
+    "dedup_fuzzy_edit",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, min(p_partkey) AS rep_key, count(*) AS n_parts
+      FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.rep_key AS rep_a, b.rep_key AS rep_b,
+           a.n_parts AS cnt_a, b.n_parts AS cnt_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.rep_key < b.rep_key
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary dedup: collapse the value column to its distinct
+    vocabulary (with representative key + support count), then find
+    near-duplicate name pairs with levenshtein <= 2.
+
+    Scale design: the vocabulary aggregate shrinks the data by orders of
+    magnitude before any pairing (64 names from 2000 parts here; at 100 TB a
+    name/URL/title vocabulary is MB-scale from TB-scale input). Candidate
+    generation is a LOSSLESS length-band equi-join — |len(a)-len(b)| <= k is
+    a necessary condition for lev <= k, so banding by floor(len/(k+1)) with
+    +-1-band expansion on one side prunes the quadratic pair space without
+    losing a single true pair (same inverted-index idea as
+    dedup_ngram_jaccard). The expensive levenshtein runs only on survivors."""
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep_key"), F.count(F.lit(1)).alias("n_parts"))
+    )
+    k = 2
+    band = (F.length("p_name") / (k + 1)).cast("int")
+    left = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("rep_key").alias("rep_a"),
+        F.col("n_parts").alias("cnt_a"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.length("p_name") - k) / (k + 1)).cast("int"),
+                    band,
+                    ((F.length("p_name") + k) / (k + 1)).cast("int"),
+                )
+            )
+        ).alias("band"),
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("rep_key").alias("rep_b"),
+        F.col("n_parts").alias("cnt_b"),
+        band.alias("band"),
+    )
+    return (
+        left.join(right, "band")
+        .filter(
+            (F.col("rep_a") < F.col("rep_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= k)
+            & (F.levenshtein("name_a", "name_b") <= k)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            "rep_a",
+            "rep_b",
+            "cnt_a",
+            "cnt_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+    )
