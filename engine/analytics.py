@@ -276,3 +276,175 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/batch=0", f"{base}/batch=1")
         .select("p_partkey", "p_name", "p_retailprice")
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities sum
+    past a threshold, re-joined to customer detail, top-20 by price.
+
+    Plan shape: the HAVING pre-aggregate runs FIRST on lineitem alone
+    (partial+final on l_orderkey), and its tiny survivor set drives a
+    left-semi join back into the fact tables — at 100 TB this ordering is
+    the difference between shuffling the whole join product and shuffling
+    only qualifying orders. Spark expresses the semi join directly; the
+    final top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "subq_not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 13) FROM orders))
+        AS n_not_in_nullable,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE nullif(o.o_custkey, 13) = c.c_custkey))
+        AS n_not_exists,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_custkey IS NOT NULL AND o_custkey <> 13))
+        AS n_not_in_filtered
+    """,
+)
+def subq_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN vs NOT EXISTS null semantics — the classic 3VL trap. A
+    NULL in the NOT IN subquery makes every predicate UNKNOWN (count 0),
+    while NOT EXISTS and the null-filtered NOT IN return real survivors.
+    Catalyst plans the nullable NOT IN as null-aware anti join and the
+    other two as plain anti joins — all three decorrelated, no per-row
+    subquery execution at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sg_nin_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sg_nin_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM sg_nin_customer
+           WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 13) FROM sg_nin_orders))
+            AS n_not_in_nullable,
+          (SELECT count(*) FROM sg_nin_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM sg_nin_orders o
+                             WHERE nullif(o.o_custkey, 13) = c.c_custkey))
+            AS n_not_exists,
+          (SELECT count(*) FROM sg_nin_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM sg_nin_orders
+                                   WHERE o_custkey IS NOT NULL AND o_custkey <> 13))
+            AS n_not_in_filtered
+        """
+    )
+
+
+@query(
+    "join_bucketed_colocate",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables: both sides written
+    bucketBy(8, custkey) + sortBy, so the sort-merge join reads bucket i
+    against bucket i directly — no Exchange on either side (asserted in
+    tests/test_plan_shape.py).
+
+    This is THE 100 TB strategy for repeated fact⋈fact joins on a stable
+    key: pay one clustered write, then every subsequent join/aggregation on
+    that key is exchange-free. Bucket count scales with data (8 here; 4096+
+    on a cluster) and must match on both sides."""
+    base = f"{_TMP}/spark_graft_bucketed"
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("sg_bucket_orders", orders, "o_custkey"),
+        ("sg_bucket_customer", cust, "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    bo, bc = spark.table("sg_bucket_orders"), spark.table("sg_bucket_customer")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "agg_topk_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(o_totalprice), 'DESC')[1:3] AS top3_prices,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k VALUES as an array column — collect, sort desc, slice.
+    The raw doubles pass through un-arithmeticked, so the array is
+    bit-identical across engines (SURVEY §5.3: only aggregates get rounded).
+    At 100 TB, collect_list on a high-cardinality group is the memory
+    hazard — the scale-safe variant is the window row_number <= k filter
+    (win_row_number_topk) or a partial top-k aggregate; this key keeps
+    k tiny and groups few, the shape where collect-then-slice wins (one
+    shuffle, no sort of the full table)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.slice(F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3).alias(
+                "top3_prices"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

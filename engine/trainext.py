@@ -162,3 +162,74 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+# fixed permutation constants for the 4 minhash functions: h_i(x) = (a_i*x + b_i) mod p
+_MH = [(1299721, 11), (2750161, 101), (4256249, 1009), (7368787, 10007)]
+_P = 2147483647
+
+
+def _mh_cols_sql_duck() -> str:
+    return ",\n".join(
+        f"           list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % {_P}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(_MH)
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+      FROM t),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(range(1, length(s) + 1), j -> ascii(substr(s, j, 1)))),
+                      (acc, c) -> (acc * 131 + c) % {_P})) AS hh
+      FROM sh)
+    SELECT doc_id,
+{_mh_cols_sql_duck()}
+    FROM hs
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle MinHash signatures: word-3-gram shingles → polynomial
+    string hash (base 131 mod 2^31-1, the engine-agnostic hash shared with
+    dedup_simhash) → 4 fixed affine permutations, min each.
+
+    This is the hash-verifiable complement to dedup_near_minhash (which is
+    ROWS-only because it uses Spark-side xxhash64 banding): here every
+    arithmetic step is expressible in both engines, so the exact signature
+    bytes are oracle-checked. Per-row array math only — zero shuffle, zero
+    Python; signature width k=4 trades recall for column count and is a
+    constant in both texts. a_i*h < 7.4e6 * 2^31 ~ 1.6e16 stays in int64."""
+    toks = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1), ' ',"
+        "             element_at(split(text, ' '), i + 2)))"
+    )
+    hh = F.expr(
+        "transform(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1), ' ',"
+        "             element_at(split(text, ' '), i + 2))),"
+        " s -> aggregate(transform(sequence(1, length(s)),"
+        "        j -> ascii(substring(s, j, 1))),"
+        "      cast(0 as bigint), (acc, c) -> (acc * 131 + c) % 2147483647))"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", hh.alias("hh"))
+    return d.select(
+        "doc_id",
+        *[
+            F.array_min(F.expr(f"transform(hh, h -> ({a} * h + {b}) % {_P})")).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH)
+        ],
+    )

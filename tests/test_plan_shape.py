@@ -66,3 +66,38 @@ def test_no_cartesian_in_similarity(spark):
     # the blocked-matmul rewrite must keep cross joins out of the plan
     plan = _plan(spark, "sim_topk_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    # At sf0.001 Catalyst rightly broadcasts the tiny dim instead of using
+    # the buckets, so assert the co-location property directly: force the
+    # merge join on the bucketed tables and require ZERO Exchange — bucket i
+    # joins bucket i with no shuffle on either side.
+    from engine.registry import collect
+
+    queries, _ = collect()
+    queries["join_bucketed_colocate"](spark, SF_DIR)  # writes the bucketed tables
+    bo = spark.table("sg_bucket_orders").hint("merge")
+    bc = spark.table("sg_bucket_customer")
+    plan = (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_q18_semi_join_before_wide_joins(spark):
+    # the HAVING pre-aggregate must drive a semi join (not a full join+dedup)
+    plan = _plan(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q6_pushes_all_filters(spark):
+    plan = _plan(spark, "tpch_q6_forecast")
+    assert re.search(r"PushedFilters: \[[^\]]", plan), plan
+    m = re.search(r"ReadSchema: struct<[^\n]*", plan)
+    assert m and "l_extendedprice" in m.group(0), plan
+    assert "l_orderkey" not in m.group(0), m.group(0)
