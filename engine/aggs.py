@@ -303,3 +303,32 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
     )
+
+
+@query(
+    "agg_bool_bitagg",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates: bool_and/bool_or (ANSI EVERY/ANY) and
+    bit_and/bit_or/bit_xor — set-membership summaries and bitmap-style
+    rollups. All five are associative+commutative, so Spark runs them
+    partial+final with map-side combine: constant-size state per group at
+    any scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bit_and("o_orderkey").cast("long").alias("key_bit_and"),
+        F.bit_or("o_orderkey").cast("long").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").cast("long").alias("key_bit_xor"),
+    )

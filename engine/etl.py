@@ -189,3 +189,66 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("d.start").alias("day_start"), "event_type", "cnt", "sum_value")
     )
+
+
+@query(
+    "etl_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM events
+    WHERE user_id < 40
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change-event log into
+    validity intervals — valid_from = event ts, valid_to = next event's ts
+    (NULL ⇒ current row). One window per user; the (ts, event_id) tie-break
+    makes simultaneous events deterministic. At 100 TB this is a single
+    shuffle on user_id and the standard way to build point-in-time joinable
+    dimension snapshots from a CDC feed."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "etl_sessionize_path",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id), '->') AS path,
+           count(*) AS n_events
+    FROM events
+    WHERE user_id < 40
+    GROUP BY user_id
+    """,
+)
+def etl_sessionize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event journey ('scan->join->agg' path strings) — the
+    clickstream/funnel primitive. Spark has no ORDER BY inside collect_list,
+    so determinism comes from collecting (ts, event_id, type) structs and
+    array_sort-ing them (struct order = field order = the sort key) before
+    projecting the type — same result as DuckDB's ordered list aggregate.
+    One shuffle on user_id; per-user arrays stay in memory, so at 100 TB
+    bound the group size (sessionize first, or cap with slice)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(sorted_structs, lambda x: x["event_type"]), "->"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

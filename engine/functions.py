@@ -350,3 +350,49 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_floor_5k"),
         F.least(F.col("c_acctbal"), F.lit(0.0)).alias("bal_cap_0"),
     )
+
+
+@query(
+    "fn_hash_digest",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256
+    FROM part
+    """,
+)
+def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest surface: md5 + sha256 hex digests — the
+    content-addressing primitives (dedup keys, cache keys, data lineage).
+    Unlike the engine-internal hashes (xxhash64 vs duckdb hash, which never
+    cross-match), these are standardized algorithms — byte-identical in any
+    engine, so they are the RIGHT hash for persisted, cross-system keys."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "fn_format_printf",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s|%05d|%x', p_name, p_size, p_partkey) AS formatted,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (format_string ≡ printf) over string, int
+    and hex conversions, plus lpad. Floating-point conversions (%f) are
+    deliberately excluded: Java's %.2f rounds HALF_UP while C rounds
+    half-even, so float formatting is NOT portable across engines — integer
+    and string conversions are."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s|%05d|%x", "p_name", "p_size", "p_partkey").alias("formatted"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )

@@ -233,3 +233,94 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_MH)
         ],
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE
+    vocab AS (SELECT p_name, min(p_partkey) AS rep_key FROM part GROUP BY p_name),
+    edges AS (
+      SELECT a.rep_key AS src, b.rep_key AS dst
+      FROM vocab a JOIN vocab b
+        ON a.rep_key < b.rep_key
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND levenshtein(a.p_name, b.p_name) <= 2),
+    undirected AS (SELECT src, dst FROM edges
+                   UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    walk(node, label) AS (
+      SELECT rep_key, rep_key FROM vocab
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN undirected u ON u.src = w.node
+    )
+    SELECT v.p_name, w.node AS rep_key, min(w.label) AS cluster_id
+    FROM walk w JOIN vocab v ON v.rep_key = w.node
+    GROUP BY v.p_name, w.node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the fuzzy-match
+    graph (nodes = distinct name vocabulary, edges = levenshtein <= 2 pairs
+    from dedup_fuzzy_edit's lossless length-band join), cluster_id = min
+    node id in the component — the canonicalization step that turns pairwise
+    near-dup hits into dedup groups.
+
+    This is the engine's iterative-algorithm surface: Spark has no recursive
+    SQL, so components run as Pregel-style min-label propagation — each
+    round joins labels to edges, takes min(neighbor label, own label), and
+    stops when a round changes nothing. Rounds = graph diameter (<= 5 here);
+    the convergence test collects ONE scalar per round (sum of labels — a
+    monotonically decreasing integer, so unchanged sum ⇔ fixpoint), never
+    row data. At 100 TB each round is one shuffle on node id; the oracle
+    side is DuckDB's WITH RECURSIVE reachability closure — same fixpoint,
+    declared instead of iterated."""
+    vocab = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep_key"))
+    )
+    k = 2
+    a = vocab.select(F.col("p_name").alias("na"), F.col("rep_key").alias("src"))
+    b = vocab.select(F.col("p_name").alias("nb"), F.col("rep_key").alias("dst"))
+    edges = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.abs(F.length("na") - F.length("nb")) <= k)
+            & (F.levenshtein("na", "nb") <= k)
+        )
+        .select("src", "dst")
+    )
+    # NOTE on the crossJoin: the vocabulary is post-aggregation (64 rows from
+    # 2k parts; MBs from TBs at scale) — if it were ever large, swap in the
+    # length-band equi-join used by dedup_fuzzy_edit. Edges are tiny either
+    # way, so they are collected-free and broadcast below.
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = F.broadcast(und.cache())
+
+    labels = vocab.select(F.col("rep_key").alias("node"), F.col("rep_key").alias("label"))
+    prev_sum = None
+    for _ in range(32):  # hard bound >> any real diameter; loop exits at fixpoint
+        msgs = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()  # truncate the growing iterative lineage
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (
+        vocab.join(labels, vocab.rep_key == labels.node)
+        .select("p_name", "rep_key", F.col("label").alias("cluster_id"))
+    )
