@@ -332,3 +332,32 @@ def agg_bool_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").cast("long").alias("key_bit_or"),
         F.bit_xor("o_orderkey").cast("long").alias("key_bit_xor"),
     )
+
+
+@query(
+    "agg_regr_native",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native linear-regression aggregates (regr_slope/intercept/r2/count) —
+    the JVM-side complement to udaf_pandas_group's Python implementation of
+    the same statistic: one partial+final aggregate, constant state (six
+    moments) per group, no Arrow transfer. At 100 TB this is the difference
+    between a shuffle of six doubles per group and shipping group data into
+    Python workers."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

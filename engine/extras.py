@@ -152,3 +152,38 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance: a CSV batch with corrupt rows injected
+    (wrong arity, un-castable types), read in DROPMALFORMED mode — survivors
+    are exactly the clean rows. The PERMISSIVE/_corrupt_record variant is
+    the quarantine route (etl_validate_quarantine has the routing shape);
+    DROPMALFORMED is the ingest-and-continue route. Parsing is per-row and
+    partition-local — tolerance costs nothing in plan shape at any scale."""
+    path = f"{_TMP}/spark_graft_csv_malformed"
+    n = load(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    import glob as _glob
+
+    csv_file = _glob.glob(f"{path}/part-*.csv")[0]
+    with open(csv_file, "a") as fh:
+        fh.write("not_an_int,BROKENLAND,also_not_int\n")
+        fh.write("99\n")
+        fh.write("98,TOO,5,MANY,COLS\n")
+    # the append invalidates Hadoop's .crc sidecars; drop them or the local
+    # FS read fails with ChecksumException before the parser ever runs
+    import os as _os
+
+    for crc in _glob.glob(f"{path}/.*.crc"):
+        _os.remove(crc)
+    return (
+        spark.read.schema(SCHEMAS["nation"])
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )

@@ -396,3 +396,81 @@ def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s|%05d|%x", "p_name", "p_size", "p_partkey").alias("formatted"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
     )
+
+
+@query(
+    "fn_array_set_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_sort(list_distinct(list_concat(a, b))) AS u,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+           CAST(list_position(a, 2) AS BIGINT) AS pos2,
+           list_filter(a, x -> x <> 1) AS removed,
+           list_concat(a, b) AS flat,
+           (len(list_filter(a, x -> list_contains(b, x))) > 0) AS overlaps
+    FROM (SELECT l_orderkey, l_linenumber,
+                 range(1, l_linenumber * 2 + 1) AS a,
+                 range(2, l_linenumber * 2 + 3, 2) AS b
+          FROM lineitem WHERE l_orderkey < 3000)
+    """,
+)
+def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface: union/except (sorted for cross-engine
+    stability — Spark preserves appearance order, DuckDB doesn't),
+    position, remove, flatten, overlap test. All JVM higher-order/array
+    expressions over derived sequences; zero shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sequence(F.lit(1), F.col("l_linenumber") * 2).alias("a"),
+        F.sequence(F.lit(2), F.col("l_linenumber") * 2 + 2, F.lit(2)).alias("b"),
+    )
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        F.array_position("a", 2).alias("pos2"),
+        F.array_remove("a", 1).alias("removed"),
+        F.flatten(F.array("a", "b")).alias("flat"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
+
+
+@query(
+    "fn_struct_json_nested",
+    oracle="""
+    SELECT n_nationkey,
+           to_json(struct_pack(name := n_name,
+                               meta := struct_pack(id := n_nationkey,
+                                                   region := n_regionkey)))::VARCHAR
+             AS as_json,
+           json_extract(to_json(struct_pack(name := n_name,
+                                            meta := struct_pack(id := n_nationkey,
+                                                                region := n_regionkey))),
+                        '$.meta.id')::BIGINT AS id_back
+    FROM nation
+    """,
+)
+def fn_struct_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction → JSON serialization → path extraction
+    round-trip. Field order in the JSON text is declaration order in both
+    engines, and int/string scalars serialize identically — which is why the
+    struct carries no doubles (float→text formatting is engine-specific).
+    Struct ops are zero-cost column metadata in Tungsten; to_json is the
+    only materialization."""
+    n = load(spark, sf_dir, "nation")
+    js = F.to_json(
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.struct(
+                F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("region")
+            ).alias("meta"),
+        )
+    )
+    return n.select(
+        "n_nationkey",
+        js.alias("as_json"),
+        F.get_json_object(js, "$.meta.id").cast("long").alias("id_back"),
+    )

@@ -123,3 +123,40 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(
         decode, "doc_id long, width int, height int, features array<float>"
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(s / 4 AS BIGINT) AS frame_idx,
+           CAST(s * 16 AS BIGINT) AS byte_offset,
+           md5(substring(text, s * 16 + 1, 16)) AS frame_md5
+    FROM (SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents),
+         unnest(generate_series(0, n_frames - 1, 4)) AS u(s)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary payload: fixed 16-byte 'frames', keep
+    every 4th — the video-keyframe-extraction shape (stride sampling by
+    offset arithmetic, never decoding the whole payload). The corpus payload
+    is the UTF-8 text bytes (ASCII ⇒ byte offset = char offset), so the
+    sampled frame content is oracle-checkable via md5. A real codec would
+    replace the substring with a mapInPandas decode at the SAME offsets —
+    the partitioning/explode plumbing is identical
+    (multimodal_decode_pipeline has that half)."""
+    d = load(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / 16)
+    d = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(4))).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("s") / 4).cast("long").alias("frame_idx"),
+        (F.col("s") * 16).cast("long").alias("byte_offset"),
+        F.md5(F.substring("text", F.col("s") * 16 + 1, 16).cast("binary")).alias(
+            "frame_md5"
+        ),
+    )

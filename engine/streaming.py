@@ -265,3 +265,66 @@ def run_to_memory_update(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT l.event_id AS scan_id, r.event_id AS join_id, l.user_id,
+           l.ts AS scan_ts, r.ts AS join_ts
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'scan' AND r.event_type = 'join'
+      AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each 'scan' event matched to the same
+    user's 'join' events within the following hour. Both sides carry a
+    1-hour watermark and the join predicate is time-bounded — the two
+    conditions Structured Streaming needs to know when buffered state can
+    be evicted (state is O(1 hour of events per side), not O(stream)).
+
+    Oracle-checkable as FULL because the corpus is one parquet file ⇒ one
+    AvailableNow micro-batch ⇒ no cross-batch eviction can drop matches;
+    the batch interval join is the exact same result set. (A multi-file
+    replay exercises the late path in tests/test_streaming.py's watermark
+    cases.) At 100 TB/day the eviction bound IS the design: widen the
+    watermark and state grows linearly; narrow it and late matches drop."""
+    left = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "scan")
+    right = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "join")
+    left = (
+        left.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("scan_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("scan_ts"),
+        )
+    )
+    right = (
+        right.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("join_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("join_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("join_ts") >= F.col("scan_ts"))
+        & (F.col("join_ts") < F.col("scan_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_to_memory(
+        joined.select(
+            "scan_id",
+            "join_id",
+            F.col("l_user").alias("user_id"),
+            F.col("scan_ts").cast("timestamp_ntz").alias("scan_ts"),
+            F.col("join_ts").cast("timestamp_ntz").alias("join_ts"),
+        ),
+        "sg_ss_join",
+    )
+    return out
