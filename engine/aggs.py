@@ -361,3 +361,19 @@ def agg_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 4).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@query("agg_approx_median")  # ROWS: KLL/GK sketches are engine-internal
+def agg_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median + p90 per group via percentile_approx (GK sketch,
+    accuracy 10000). ROWS-only: the sketch's exact output differs from
+    DuckDB's exact quantile — the |approx−exact| < 1% relative-error bound
+    is unit-tested in tests/test_trainops.py. This is the scale path of
+    agg_percentile (exact): the sketch is mergeable, so it's partial+final
+    with bounded state, while exact percentile must sort each group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

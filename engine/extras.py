@@ -187,3 +187,37 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(path)
     )
+
+
+@query(
+    "sink_sorted_clustered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout: repartitionByRange(l_shipdate) +
+    sortWithinPartitions before the write, so each output file covers a
+    narrow shipdate range and parquet row-group min/max statistics make
+    time-range scans skip almost everything (the pushed filter prunes whole
+    files/row-groups, not just rows). This is THE layout optimization for
+    time-series fact tables at 100 TB — same data, same query, a fraction
+    of the I/O. Boundaries come from sampling (nondeterministic splits, but
+    content-identical), so the read-back equals the plain filtered table."""
+    path = f"{_TMP}/spark_graft_clustered_lineitem"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+    )

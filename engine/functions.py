@@ -474,3 +474,33 @@ def fn_struct_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         js.alias("as_json"),
         F.get_json_object(js, "$.meta.id").cast("long").alias("id_back"),
     )
+
+
+@query(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 10 DAY AS TIMESTAMP) AS minus_10d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS quarter_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic: month addition (end-of-month clamping
+    matches across engines), day subtraction, last_day, quarter truncation,
+    day diffs. Month math is NOT commutative with day math — both engines
+    clamp Jan 31 + 1 month to Feb 28 — which is why add_months exists as a
+    distinct operation from +30d. Pure projection, zero shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.date_sub(d, 10).cast("timestamp_ntz").alias("minus_10d"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("quarter_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+    )

@@ -601,3 +601,41 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _set_sides(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           arg_min(o.o_orderkey,
+                   epoch(o.o_orderdate) * 1000000000 + o.o_orderkey) AS next_orderkey,
+           min(o.o_orderdate) AS next_orderdate
+    FROM events e
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+    WHERE e.user_id < 30
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the SAME user's next order
+    strictly after it (join_asof is the backward twin). Implemented as a
+    range join + argmin — the ordering key linearizes (epoch seconds,
+    orderkey) into one BIGINT so date ties resolve to the lowest orderkey
+    identically in every engine. Inner semantics: events with no later order
+    drop out (min_by/arg_min null handling differs across engines, so the
+    key avoids depending on it). At 100 TB: bucket both sides by
+    date_trunc('month') to equi-ize, as join_interval's docstring lays out."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    o = load(spark, sf_dir, "orders")
+    ordkey = (
+        F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate > e.ts))
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.min_by("o_orderkey", ordkey).alias("next_orderkey"),
+            F.min("o_orderdate").alias("next_orderdate"),
+        )
+    )

@@ -324,3 +324,74 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.join(labels, vocab.rep_key == labels.node)
         .select("p_name", "rep_key", F.col("label").alias("cluster_id"))
     )
+
+
+@query(
+    "text_tfidf_cosine_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 60),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+    w AS (SELECT doc_id, term, tf * ln((SELECT n FROM n) / df) AS w
+          FROM tf JOIN df USING (term)),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def text_tfidf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-document similarity by tf-idf cosine over the sparse term
+    space — the classic IR pairing, computed relationally: the dot product
+    of two sparse vectors IS a join on term + sum of weight products, so no
+    dense vectors ever materialize.
+
+    Scale shape: tf and df are hash aggregates; the pair 'join on term' is
+    an inverted index — each term contributes df² pair-partials, so at
+    100 TB you cap or drop ultra-common terms first (df ceiling = stopword
+    removal; here the corpus is small enough not to). One shuffle per CTE
+    stage, all JVM-side."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = tf.select("doc_id").distinct().count()  # scalar: one tiny agg, collected once
+    w = tf.join(df, "term").select(
+        "doc_id", "term", (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )

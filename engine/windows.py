@@ -227,3 +227,50 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.nth_value("c_name", 3).over(w_full).alias("third_name"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, ts, CAST(run_distinct AS BIGINT) AS run_distinct
+    FROM (
+      SELECT event_id, user_id, ts,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_distinct
+      FROM (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 40))
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not directly supported by any
+    SQL engine's window frames, so it's composed: flag each value's first
+    occurrence per (user, value) with row_number, then running-sum the flags
+    per user. Two windows, both partitioned on user_id → ONE shuffle (the
+    second window reuses the first's hash partitioning; only the sort key
+    changes). The standard idiom for 'distinct items seen so far' funnels."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("is_first").over(w_run).cast("long").alias("run_distinct"),
+    )

@@ -76,3 +76,28 @@ def test_fake_decode_deterministic():
     b = _decode_fake(b"hello world, this is a fake image payload", 16)
     assert a == b and len(a) == 16
     assert _decode_fake(b"", 16) == [0.0] * 16
+
+
+def test_approx_median_error_bound(spark, duck):
+    """ROWS key agg_approx_median: GK sketch within 1% of DuckDB's exact
+    quantile per group."""
+    from engine.registry import collect
+    from tests.conftest import SF_DIR
+
+    queries, _ = collect()
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in queries["agg_approx_median"](spark, SF_DIR).collect()
+    }
+    exact = duck.sql(
+        f"""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS m,
+               quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    assert len(exact) == len(got) > 0
+    for flag, m, p90 in exact:
+        assert abs(got[flag]["approx_median"] - m) / m < 0.01, (flag, m, got[flag])
+        assert abs(got[flag]["approx_p90"] - p90) / p90 < 0.01, (flag, p90, got[flag])
