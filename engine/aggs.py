@@ -377,3 +377,25 @@ def agg_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): Spark has no ordered
+    collect, so determinism comes from array_sort before the join — same
+    technique as agg_collect_sorted but producing the delimited-string form
+    reports expect. Per-group state is the value list; bound group size at
+    scale or switch to the array form + slice."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -252,3 +252,59 @@ def etl_sessionize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "etl_merge_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey < 1000),
+    changes AS (
+      SELECT k, CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             round(price + 100, 2) AS new_price
+      FROM base WHERE k % 3 < 2
+      UNION ALL
+      SELECT k + 1000000, 'I', 50.0 FROM base WHERE k % 3 = 2)
+    SELECT coalesce(c.k, b.k) AS k,
+           CASE WHEN c.op = 'U' OR c.op = 'I' THEN c.new_price
+                ELSE b.price END AS price,
+           coalesce(c.op, '=') AS last_op
+    FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def etl_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply: a change batch of inserts/updates/deletes
+    full-outer-joined onto the base snapshot — U replaces the value, I adds
+    the row, D drops it, untouched rows pass through flagged '='. This is
+    the engine-level semantics under every MERGE INTO / upsert-table
+    implementation; etl_upsert_keyed is the newest-wins special case. One
+    shuffle on the merge key at any scale; the change batch is typically
+    small enough to broadcast."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("price"))
+    )
+    upd = base.filter(F.col("k") % 3 < 2).select(
+        "k",
+        F.when(F.col("k") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("price") + 100, 2).alias("new_price"),
+    )
+    ins = base.filter(F.col("k") % 3 == 2).select(
+        (F.col("k") + 1000000).alias("k"), F.lit("I").alias("op"),
+        F.lit(50.0).alias("new_price"),
+    )
+    changes = upd.unionByName(ins)
+    merged = base.alias("b").join(changes.alias("c"), "k", "full_outer")
+    return (
+        merged.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            "k",
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.new_price"))
+            .otherwise(F.col("b.price"))
+            .alias("price"),
+            F.coalesce(F.col("c.op"), F.lit("=")).alias("last_op"),
+        )
+    )

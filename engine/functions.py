@@ -504,3 +504,42 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", d).cast("timestamp_ntz").alias("quarter_start"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_orderkey::HUGEINT * 4000000000000000000::HUGEINT AS BIGINT)
+             AS try_mul,
+           TRY_CAST(l_orderkey::HUGEINT + 9223372036854775000::HUGEINT AS BIGINT)
+             AS try_add_big,
+           CASE WHEN l_linenumber = 1 THEN NULL
+                ELSE l_quantity / (l_linenumber - 1) END AS try_div,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                         THEN '1999-01-02 03:04:05' ELSE 'nope' END AS TIMESTAMP)
+             AS try_ts
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY-variant arithmetic under ANSI mode: overflow → NULL (not error),
+    divide-by-zero → NULL, malformed timestamp → NULL. The tolerant-ETL
+    counterpart of strict ANSI evaluation (etl_clean_coerce has the cast
+    side). DuckDB lacks try_add/try_multiply, so the oracle reproduces the
+    semantics by widening to HUGEINT and TRY_CASTing back — same NULL set."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_multiply(F.col("l_orderkey"), F.lit(4000000000000000000)).alias("try_mul"),
+        F.try_add(F.col("l_orderkey"), F.lit(9223372036854775000)).alias("try_add_big"),
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1).alias("try_div"),
+        F.try_to_timestamp(
+            F.when(F.col("l_linenumber") % 2 == 0, "1999-01-02 03:04:05").otherwise(
+                "nope"
+            )
+        )
+        .cast("timestamp_ntz")
+        .alias("try_ts"),
+    )

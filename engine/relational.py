@@ -639,3 +639,28 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("next_orderdate"),
         )
     )
+
+
+@query(
+    "join_natural_using",
+    oracle="""
+    SELECT regionkey, n_name, r_name
+    FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+    JOIN (SELECT r_name, r_regionkey AS regionkey FROM region) USING (regionkey)
+    """,
+)
+def join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-clause join via the textual SQL path: the join column appears
+    ONCE in the output (coalesced), unlike ON-joins which keep both sides —
+    the SQL-surface parity detail that trips up ports. Same physical plan
+    as the equivalent equi-join (broadcast here)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("sg_u_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("sg_u_region")
+    return spark.sql(
+        """
+        SELECT regionkey, n_name, r_name
+        FROM (SELECT n_name, n_regionkey AS regionkey FROM sg_u_nation)
+        JOIN (SELECT r_name, r_regionkey AS regionkey FROM sg_u_region)
+        USING (regionkey)
+        """
+    )
