@@ -543,3 +543,25 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp_ntz")
         .alias("try_ts"),
     )
+
+
+@query(
+    "fn_string_split_part",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS adjective,
+           split_part(p_name, ' ', 2) AS noun,
+           split_part(p_name, ' ', 9) AS beyond
+    FROM part
+    """,
+)
+def fn_string_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part — 1-based field extraction with the empty-string (not
+    NULL, not error) convention for out-of-range indices in both engines."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adjective"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(9)).alias("beyond"),
+    )

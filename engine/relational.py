@@ -664,3 +664,62 @@ def join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING (regionkey)
         """
     )
+
+
+@query(
+    "set_union_mixed_schema",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, round(c_acctbal, 2) AS acctbal,
+           NULL::VARCHAR AS segment
+    FROM customer WHERE c_custkey < 300
+    UNION ALL
+    SELECT c_custkey, c_name, NULL::DOUBLE, c_mktsegment
+    FROM customer WHERE c_custkey >= 300 AND c_custkey < 600
+    """,
+)
+def set_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-mismatched union: unionByName(allowMissingColumns=True) aligns
+    by NAME and null-fills the gaps — the append path for evolving sources
+    (scan_merge_schema is the same property at the storage layer). Position
+    -based union would silently mis-bind here; by-name is the only safe
+    default for pipelines whose upstream adds columns."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    b = c.filter((F.col("c_custkey") >= 300) & (F.col("c_custkey") < 600)).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "topk_rank_with_ties",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_nationkey, rnk
+    FROM (SELECT c_mktsegment, c_custkey, c_nationkey,
+                 rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_nationkey) AS rnk
+          FROM customer)
+    WHERE rnk <= 3
+    """,
+)
+def topk_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES: rank() <= k keeps every row tied at the boundary
+    (row_number() <= k would truncate arbitrarily — win_row_number_topk is
+    that variant, made safe by a unique tie-break). Ranking on the
+    low-cardinality nationkey guarantees real ties, so the semantic
+    difference is exercised, not incidental. Same WindowGroupLimit
+    optimization applies: per-partition top-k state, no full sort."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_nationkey", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -274,3 +274,44 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("is_first").over(w_run).cast("long").alias("run_distinct"),
     )
+
+
+@query(
+    "win_nav_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_nonnull,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_nonnull
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events WHERE user_id < 40)
+    """,
+)
+def win_nav_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — last_value(... ignorenulls) over a running
+    frame is the gap-fill / last-observation-carried-forward idiom for
+    sparse time series (sensor readings, slowly-updating attributes). The
+    nullable column is derived (event_id % 3) so the null pattern is
+    deterministic in both engines. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    v = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = e.select("event_id", "user_id", "ts", v.alias("v"))
+    return d.select(
+        "event_id",
+        "user_id",
+        F.first("v", ignorenulls=True).over(w).alias("first_nonnull"),
+        F.last("v", ignorenulls=True).over(w).alias("last_nonnull"),
+    )
