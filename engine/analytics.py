@@ -392,12 +392,16 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key: pay one clustered write, then every subsequent join/aggregation on
     that key is exchange-free. Bucket count scales with data (8 here; 4096+
     on a cluster) and must match on both sides."""
-    base = f"{_TMP}/spark_graft_bucketed"
+    # table identity must include the sf_dir: catalog names are session-global
+    # while the data is per-scale, so a shared name would serve stale buckets
+    # to a second scale factor in the same session
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    base = f"{_TMP}/spark_graft_bucketed_{tag}"
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     for name, df, key in (
-        ("sg_bucket_orders", orders, "o_custkey"),
-        ("sg_bucket_customer", cust, "c_custkey"),
+        (f"sg_bucket_orders_{tag}", orders, "o_custkey"),
+        (f"sg_bucket_customer_{tag}", cust, "c_custkey"),
     ):
         if not spark.catalog.tableExists(name):
             (
@@ -408,7 +412,8 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .format("parquet")
                 .saveAsTable(name)
             )
-    bo, bc = spark.table("sg_bucket_orders"), spark.table("sg_bucket_customer")
+    bo = spark.table(f"sg_bucket_orders_{tag}")
+    bc = spark.table(f"sg_bucket_customer_{tag}")
     return (
         bo.join(bc, bo.o_custkey == bc.c_custkey)
         .groupBy("c_nationkey")

@@ -181,9 +181,22 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     emb = load(spark, sf_dir, "embeddings")
     # Broadcast side: the full id+matrix pair (float64 once, not per-pair).
-    side = emb.select("vec_id", "embedding").toPandas()
-    b_ids = side["vec_id"].to_numpy()
-    b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    # Materialize it with a direct pyarrow read of the (shared-path) parquet
+    # — same bytes the executors scan, without paying a Spark collect job;
+    # falls back to toPandas for sources pyarrow can't reach.
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        b_ids = t.column("vec_id").to_numpy()
+        flat = t.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        b_mat = flat.astype(np.float64).reshape(len(b_ids), -1)
+    except Exception:
+        side = emb.select("vec_id", "embedding").toPandas()
+        b_ids = side["vec_id"].to_numpy()
+        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
 
     def block_topk(batches):

@@ -77,8 +77,9 @@ def test_bucketed_join_no_exchange(spark):
 
     queries, _ = collect()
     queries["join_bucketed_colocate"](spark, SF_DIR)  # writes the bucketed tables
-    bo = spark.table("sg_bucket_orders").hint("merge")
-    bc = spark.table("sg_bucket_customer")
+    tag = "".join(c if c.isalnum() else "_" for c in SF_DIR.strip("/"))
+    bo = spark.table(f"sg_bucket_orders_{tag}").hint("merge")
+    bc = spark.table(f"sg_bucket_customer_{tag}")
     plan = (
         bo.join(bc, bo.o_custkey == bc.c_custkey)
         ._jdf.queryExecution()
