@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.registry import query
-from engine.tables import load
+from engine.tables import load, sftag
 
 _TMP = tempfile.gettempdir()
 
@@ -266,7 +266,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass) and declare the evolved schema explicitly; it's enabled here to
     prove the reconciliation semantics."""
     part = load(spark, sf_dir, "part")
-    base = f"{_TMP}/spark_graft_merge_schema"
+    base = f"{_TMP}/spark_graft_merge_schema_{sftag(sf_dir)}"
     old = part.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
     new = part.filter(F.col("p_partkey") % 2 == 1).select("p_partkey", "p_name", "p_retailprice")
     old.write.mode("overwrite").parquet(f"{base}/batch=0")
@@ -395,7 +395,7 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table identity must include the sf_dir: catalog names are session-global
     # while the data is per-scale, so a shared name would serve stale buckets
     # to a second scale factor in the same session
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = sftag(sf_dir)
     base = f"{_TMP}/spark_graft_bucketed_{tag}"
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")

@@ -138,6 +138,53 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_MAX_BROADCAST_VECTORS = 1_000_000  # float64 broadcast budget (~0.5 GB at dim 64)
+
+
+def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
+    """(ids, float64 matrix) for the broadcast side of blocked-matmul kernels.
+
+    Direct pyarrow read of the shared-path parquet — the same bytes the
+    executors scan — skips paying a Spark collect job; falls back to
+    toPandas for sources pyarrow can't reach. LOUD size gate: past ~1M
+    vectors a full-side broadcast is the scale-killer (SCALE.md invariant 1),
+    so refuse with a pointer at the IVF/LSH bucketed path instead of silently
+    OOMing the driver."""
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        n = pf.metadata.num_rows  # footer-only, no data read
+        if n > _MAX_BROADCAST_VECTORS:
+            raise RuntimeError(
+                f"embeddings has {n} vectors > broadcast budget "
+                f"{_MAX_BROADCAST_VECTORS}; use the bucketed IVF/LSH path "
+                "(engine.simsearch.sim_ann_ivf) for candidate generation"
+            )
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        b_ids = t.column("vec_id").to_numpy()
+        flat = t.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        b_mat = flat.astype(np.float64).reshape(len(b_ids), -1)
+    except RuntimeError:
+        raise
+    except Exception:
+        n = emb.count()
+        if n > _MAX_BROADCAST_VECTORS:
+            raise RuntimeError(
+                f"embeddings has {n} vectors > broadcast budget "
+                f"{_MAX_BROADCAST_VECTORS}; use the bucketed IVF/LSH path "
+                "(engine.simsearch.sim_ann_ivf) for candidate generation"
+            )
+        side = emb.select("vec_id", "embedding").toPandas()
+        b_ids = side["vec_id"].to_numpy()
+        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    return b_ids, b_mat
+
+
 def _dot(a, b):  # JVM-side higher-order dot product, float→double first
     return F.aggregate(
         F.zip_with(
@@ -180,24 +227,9 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 10
     emb = load(spark, sf_dir, "embeddings")
-    # Broadcast side: the full id+matrix pair (float64 once, not per-pair).
-    # Materialize it with a direct pyarrow read of the (shared-path) parquet
-    # — same bytes the executors scan, without paying a Spark collect job;
-    # falls back to toPandas for sources pyarrow can't reach.
-    try:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        b_ids = t.column("vec_id").to_numpy()
-        flat = t.column("embedding").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        b_mat = flat.astype(np.float64).reshape(len(b_ids), -1)
-    except Exception:
-        side = emb.select("vec_id", "embedding").toPandas()
-        b_ids = side["vec_id"].to_numpy()
-        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    # Broadcast side: the full id+matrix pair (float64 once, not per-pair),
+    # size-gated + pyarrow-direct via the shared helper.
+    bc = spark.sparkContext.broadcast(_broadcast_side(spark, sf_dir, emb))
 
     def block_topk(batches):
         ids_all, m_all = bc.value

@@ -20,21 +20,27 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Module order drives the driver's capped 50-entry CORRECTNESS window
+# (registration order == check order). Round 1 attested relational+aggs;
+# round 2 rotates the never-driver-attested families to the front
+# (llmops/textops/simsearch/multimodal/windows/functions...) so every §2
+# family accumulates at least one round of driver-side evidence. The
+# sf0.001 pytest oracle layer still covers the rotated-out families.
 _OPERATOR_MODULES = [
-    "engine.relational",
-    "engine.aggs",
-    "engine.windows",
-    "engine.functions",
-    "engine.etl",
-    "engine.extras",
-    "engine.analytics",
-    "engine.trainext",
     "engine.llmops",
     "engine.textops",
     "engine.simsearch",
     "engine.multimodal",
+    "engine.windows",
+    "engine.functions",
     "engine.streaming",
     "engine.udfs",
+    "engine.trainext",
+    "engine.etl",
+    "engine.extras",
+    "engine.analytics",
+    "engine.relational",
+    "engine.aggs",
 ]
 
 

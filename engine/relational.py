@@ -3,7 +3,7 @@
 
 All operators are declarative DataFrame plans — Catalyst provides predicate
 pushdown, column pruning, broadcast conversion and join reordering (verified
-by plan-shape tests in tests/test_plans.py). Per-operator 100 TB notes inline.
+by plan-shape tests in tests/test_plan_shape.py). Per-operator 100 TB notes inline.
 """
 
 from __future__ import annotations
@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from engine.registry import query
-from engine.tables import SCHEMAS, load
+from engine.tables import SCHEMAS, load, sftag
 
 _TMP = tempfile.gettempdir()
 
@@ -42,7 +42,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: CSV reads are splittable (uncompressed/bzip2); schema is always
     explicit so no inference pass over the data.
     """
-    path = f"{_TMP}/spark_graft_csv_nation"
+    path = f"{_TMP}/spark_graft_csv_nation_{sftag(sf_dir)}"
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(path)
 
@@ -53,7 +53,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source with explicit schema (no sampling-based inference)."""
-    path = f"{_TMP}/spark_graft_json_region"
+    path = f"{_TMP}/spark_graft_json_region_{sftag(sf_dir)}"
     load(spark, sf_dir, "region").write.mode("overwrite").json(path)
     return spark.read.schema(SCHEMAS["region"]).json(path)
 
@@ -71,7 +71,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: partitionBy on a low-cardinality column (3 values) keeps file
     counts bounded; high-cardinality keys would use bucketing instead.
     """
-    path = f"{_TMP}/spark_graft_sink_lineitem"
+    path = f"{_TMP}/spark_graft_sink_lineitem_{sftag(sf_dir)}"
     (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") <= 10)
@@ -90,7 +90,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned scan: filter on the partition column only touches the
     matching directory (PartitionFilters in the plan — asserted in tests)."""
-    path = f"{_TMP}/spark_graft_prune_lineitem"
+    path = f"{_TMP}/spark_graft_prune_lineitem_{sftag(sf_dir)}"
     (
         load(spark, sf_dir, "lineitem")
         .write.mode("overwrite")
@@ -610,29 +610,48 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_min(o.o_orderkey,
                    epoch(o.o_orderdate) * 1000000000 + o.o_orderkey) AS next_orderkey,
            min(o.o_orderdate) AS next_orderdate
-    FROM events e
-    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
-    WHERE e.user_id < 30
+    FROM (SELECT event_id, user_id,
+                 ts - INTERVAL 28 YEAR
+                    + to_years(CAST(event_id % 8 AS INT)) AS probe_ts
+          FROM events WHERE user_id < 30) e
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.probe_ts
     GROUP BY e.event_id, e.user_id
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each event matched to the SAME user's next order
-    strictly after it (join_asof is the backward twin). Implemented as a
-    range join + argmin — the ordering key linearizes (epoch seconds,
+    strictly after its probe time (join_asof is the backward twin).
+
+    The corpus's events.ts (2024-01) postdates every order (1995..2001), so a
+    raw ``o_orderdate > ts`` is vacuously empty (round-1 verdict item 1). The
+    probe is derived INSIDE the orders domain on both engine and oracle
+    sides: ``ts - 28 years + (event_id % 8) years`` spreads probes across
+    1996..2003, so most events find a real next order AND the tail past
+    2001-08 exercises the inner-join drop path (no later order -> row out).
+
+    Range join + argmin — the ordering key linearizes (epoch seconds,
     orderkey) into one BIGINT so date ties resolve to the lowest orderkey
-    identically in every engine. Inner semantics: events with no later order
-    drop out (min_by/arg_min null handling differs across engines, so the
-    key avoids depending on it). At 100 TB: bucket both sides by
+    identically in every engine. At 100 TB: bucket both sides by
     date_trunc('month') to equi-ize, as join_interval's docstring lays out."""
-    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "ts - INTERVAL 28 YEAR"
+                " + make_interval(CAST(event_id % 8 AS INT))"
+            ).alias("probe_ts"),
+        )
+    )
     o = load(spark, sf_dir, "orders")
     ordkey = (
         F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(1000000000).cast("long")
         + F.col("o_orderkey")
     )
     return (
-        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate > e.ts))
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate > e.probe_ts))
         .groupBy("event_id", "user_id")
         .agg(
             F.min_by("o_orderkey", ordkey).alias("next_orderkey"),

@@ -71,7 +71,7 @@ def tune(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — leave session default
-    _TUNED.add(id(spark))
+    _TUNED.add(spark)
     return spark
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from engine.registry import query
-from engine.tables import load
+from engine.tables import load, sftag
 
 # ---------------------------------------------------------------------------
 # batch-equivalent window semantics (FULL oracle)
@@ -201,7 +201,9 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermark requires TimestampType (not NTZ) in streaming state ops.
     s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     dd = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
-    out = run_to_memory(dd.select("event_id", "user_id", "event_type"), "sg_wm_dedup")
+    out = run_to_memory(
+        dd.select("event_id", "user_id", "event_type"), f"sg_wm_dedup_{sftag(sf_dir)}"
+    )
     return out.orderBy("event_id")
 
 
@@ -247,7 +249,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    spark_df = run_to_memory_update(counted, "sg_state_counter")
+    spark_df = run_to_memory_update(counted, f"sg_state_counter_{sftag(sf_dir)}")
     return spark_df.orderBy("user_id")
 
 
@@ -325,6 +327,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("scan_ts").cast("timestamp_ntz").alias("scan_ts"),
             F.col("join_ts").cast("timestamp_ntz").alias("join_ts"),
         ),
-        "sg_ss_join",
+        f"sg_ss_join_{sftag(sf_dir)}",
     )
     return out

@@ -84,9 +84,11 @@ def _slope(pdf: pd.DataFrame) -> pd.DataFrame:
     y = pdf["l_extendedprice"].to_numpy()
     xm, ym = x.mean(), y.mean()
     denom = ((x - xm) ** 2).mean()
-    slope = float(((x - xm) * (y - ym)).mean() / denom) if denom else None
+    # Zero-variance group -> NULL, matching DuckDB/Spark regr_slope (round(None)
+    # would raise TypeError and kill the whole query).
+    slope = round(float(((x - xm) * (y - ym)).mean() / denom), 4) if denom else None
     return pd.DataFrame(
-        {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "slope": [round(slope, 4)]}
+        {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "slope": [slope]}
     )
 
 
