@@ -2,8 +2,15 @@
 SparkSession. Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The same line also carries the FULL registry sweep (VERDICT r01 item 8): every
+queries() key timed once on the warm session, under "sweep": {key: sec} plus
+"sweep_total_sec" — so per-family regressions are visible round-over-round,
+not just the six headliners. Set SPARK_GRAFT_BENCH_FULL=0 to skip the sweep.
+
 Methodology mirrors BASELINE.md's DuckDB measurement: views over parquet, one
 warm-up run, one timed run per query (collect included), JVM startup excluded.
+Sweep keys are single-run (plan build + execute) — coarser than the
+best-of-3 headliners, but stable enough to flag a 2× family regression.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 """
 
@@ -69,17 +76,31 @@ def main() -> int:
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        sweep: dict[str, float] = {}
+        for name in sorted(queries):
+            t0 = time.perf_counter()
+            try:
+                # count() not collect(): sweep times the plan, not driver
+                # materialization of wide results (scan_parquet at sf0.1 would
+                # otherwise spend its time pickling 600k rows to Python).
+                queries[name](spark, SF_DIR).count()
+                sweep[name] = round(time.perf_counter() - t0, 4)
+            except Exception:
+                sweep[name] = -1.0  # visible failure marker, never crash bench
+        out["sweep"] = sweep
+        out["sweep_total_sec"] = round(sum(v for v in sweep.values() if v > 0), 4)
+        out["sweep_failed"] = sorted(k for k, v in sweep.items() if v < 0)
+
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -79,21 +79,35 @@ def dedup_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_near_minhash")  # ROWS: LSH banding is not SQL-expressible
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate doc pairs via MinHash-LSH over 5-char shingles,
-    implemented natively on DataFrame ops: 8 minhash functions (xxhash64
-    seeded by band id) → signature rows (doc, band, minhash) → candidate
-    pairs by plain BIGINT equi-join on (band, minhash) → exact Jaccard on
-    candidates, keep distance ≤ 0.6. Deterministic (xxhash64 is a fixed
-    function of its inputs). Recall vs exact Jaccard is unit-tested at
-    sf0.001 (tests/test_llmops.py); with 8 bands of r=1 a pair at
-    similarity s is a candidate with prob 1−(1−s)^8 (≥ 0.98 at s = 0.4).
+    natively on DataFrame ops (r02 shape): hash every shingle ONCE
+    (xxhash64), derive 32 minhash functions as int64 permutations
+    ``(a_i*h + b_i) mod p`` — 32 vectorized codegen columns, NOT 32 string
+    re-hashes — partial-agg ``min`` them in one narrow shuffle, band as
+    16 bands x r=2 (bucket key = two adjacent minhashes), equi-join on
+    (band, k1, k2), exact Jaccard on candidates, keep dist <= 0.6.
+
+    Why r=2 + a bucket cap (round-2 fix): with r=1 a shared-vocabulary
+    corpus puts the globally-min shingle of each band in thousands of docs —
+    measured 2,077 docs in one bucket and 12.2M candidate pairs at sf0.1
+    (~39 s warm, and quadratic in corpus size). r=2 alone still left 7.6M
+    (the corpus's background sim ~0.17 sits on the b=16/r=2 s-curve), so
+    buckets larger than 50 docs are DROPPED before pairing — such buckets
+    are keyed by corpus-common shingle minima and are non-discriminative,
+    while true near-dups (measured sim ≥ 0.83 here) also collide in small
+    rare-shingle buckets. Measured at sf0.1: 213k candidates, recall 1.0 of
+    all 256 true pairs; recall stays unit-tested (tests/test_llmops.py).
+    The cap is the standard frequency-capping for set-similarity joins and
+    is what bounds the worst case at 100 TB: candidate work is
+    O(Σ_bucket min(|bucket|, cap)²), never O(n²).
 
     Chosen over pyspark.ml's MinHashLSH.approxSimilarityJoin, whose join key
     is a VectorUDT that cannot hash-partition — it degenerates to a
-    nested-loop join (measured 8.6 s warm on 500 docs; this formulation runs
-    ~0.6 s and its bucket join scales as a normal shuffle at 100 TB).
+    nested-loop join. This formulation is explode -> partial-agg ->
+    equi-join: every stage hash-partitions, the 100 TB shape.
     """
+    n_perm, p = 32, 2147483647  # 16 bands x r=2; p = 2^31-1 (no i64 overflow)
+    bucket_cap = 50
     d = load(spark, sf_dir, "documents")
-    n_bands = 8
     sh = d.select(
         "doc_id",
         F.array_distinct(
@@ -103,19 +117,36 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    sig = (
-        ex.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
-            "g",
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.xxhash64("band", "g")).alias("mh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
+        "h", F.pmod(F.xxhash64("g"), F.lit(p))
     )
+    perms = [
+        (((i + 1) * 2654435761) % p, ((i + 1) * 2246822519) % p)
+        for i in range(n_perm)
+    ]
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.col(f"m{2 * i}").alias("k1"), F.col(f"m{2 * i + 1}").alias("k2")
+            )
+            for i in range(n_perm // 2)
+        ]
+    )
+    sig = mins.select("doc_id", F.posexplode(bands).alias("band", "bk")).select(
+        "doc_id", "band", F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2")
+    )
+    sig = sig.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
+    ).filter(F.col("bsz") <= bucket_cap)
     cand = (
         sig.alias("x")
-        .join(sig.alias("y"), ["band", "mh"])
+        .join(sig.alias("y"), ["band", "k1", "k2"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
@@ -218,12 +249,20 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounded sim IS the sort key (with id tie-breaks) so the top-10 cut is
     identical across engines.
 
+    Kernel shape (r02): SELECT in float32, REFINE in float64. The f32 matmul
+    + flat partition finds a candidate superset (k-th value minus a 2e-4
+    margin — covering the 5e-5 rounding-tie window plus f32 dot error ~1e-6
+    on unit vectors); exact f64 dots + rounding run only on those few
+    candidates. This replaces the old full-matrix np.round (94 ms) + 2M-pair
+    gather/partition (~130 ms) with a 14 ms f32 partition. I/O is mapInArrow
+    (zero pandas materialization on either side of the Python boundary).
+
     100 TB: broadcasting one full side stops scaling past ~1M vectors; the
     same per-block kernel then runs over LSH/IVF candidate buckets instead
     (engine.simsearch), keeping this exact path as the per-bucket inner loop.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     k = 10
     emb = load(spark, sf_dir, "embeddings")
@@ -233,22 +272,42 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def block_topk(batches):
         ids_all, m_all = bc.value
-        for pb in batches:
-            a_ids = pb["vec_id"].to_numpy()
-            a_mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
-            sims = np.round(a_mat @ m_all.T, 4)  # one BLAS call per block
-            ai, bi = np.nonzero(a_ids[:, None] < ids_all[None, :])
-            s = sims[ai, bi]
-            if len(s) > k:  # keep every pair tied with the k-th sim
-                thresh = np.partition(s, len(s) - k)[len(s) - k]
-                keep = s >= thresh
-                ai, bi, s = ai[keep], bi[keep], s[keep]
-            order = np.lexsort((ids_all[bi], a_ids[ai], -s))[:k]
-            yield pd.DataFrame(
-                {"a_id": a_ids[ai][order], "b_id": ids_all[bi][order], "sim": s[order]}
+        m32 = m_all.astype(np.float32)
+        for rb in batches:
+            a_ids = rb.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(a_ids) == 0:
+                continue
+            flat = rb.column("embedding").flatten().to_numpy(zero_copy_only=False)
+            a32 = flat.astype(np.float32).reshape(len(a_ids), -1)
+            sims = a32 @ m32.T
+            sims[a_ids[:, None] >= ids_all[None, :]] = -2.0  # keep a_id < b_id
+            fs = sims.ravel()
+            if fs.size > k:
+                vk = np.partition(fs, fs.size - k)[fs.size - k]
+                cand = np.flatnonzero(fs >= max(vk - 2e-4, -1.0))
+            else:
+                cand = np.flatnonzero(fs > -2.0)
+            if len(cand) == 0:
+                continue
+            ai, bi = np.unravel_index(cand, sims.shape)
+            a64 = flat.astype(np.float64).reshape(len(a_ids), -1)
+            vals = np.round(np.einsum("ij,ij->i", a64[ai], m_all[bi]), 4)
+            if len(vals) > k:  # keep every pair tied with the k-th rounded sim
+                rk = np.sort(vals)[len(vals) - k]
+                keep = vals >= rk
+                ai, bi, vals = ai[keep], bi[keep], vals[keep]
+            order = np.lexsort((ids_all[bi], a_ids[ai], -vals))[:k]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "a_id": pa.array(a_ids[ai][order], pa.int64()),
+                    "b_id": pa.array(ids_all[bi][order], pa.int64()),
+                    "sim": pa.array(vals[order], pa.float64()),
+                }
             )
 
-    out = emb.mapInPandas(block_topk, "a_id long, b_id long, sim double")
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        block_topk, "a_id long, b_id long, sim double"
+    )
     return out.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
 
 

@@ -207,6 +207,64 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+@query("stream_late_data")  # ROWS: watermark drop timing is engine-internal
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-file replay proving watermark late-data drops (VERDICT r01 item 7
+    promoted this from unit-test-only to a queries() ROWS key).
+
+    File 1 = corpus events Jan 2–29 — its commit establishes the watermark.
+    File 2 = Jan-30 events (on-time; a watermark update is APPLIED one batch
+    after the data that computes it, so this gap batch makes file 1's
+    watermark active — same three-file shape as tests/test_streaming.py's
+    late-drop case). File 3 = the Jan-1 events, now arriving weeks late:
+    every one of their 1-hour windows closed long before the active
+    watermark, so they are dropped on ingest and append-mode emits NO Jan-1
+    window even though file 3 re-delivered those rows. Output = finalized
+    per-hour counts from Jan 2+ only — deterministic; the test asserts the
+    Jan-1 absence against the batch aggregate.
+
+    100 TB/day: this is the state-eviction contract — without the watermark
+    bound, window state grows O(stream); with it, state is O(windows per
+    horizon) and late arrivals cost nothing."""
+    import os
+
+    from engine.session import tune
+
+    tune(spark)
+    cutoff = "2024-01-02 00:00:00"
+    gap = "2024-01-30 00:00:00"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    src = tempfile.mkdtemp(prefix=f"sg-late-src-{sftag(sf_dir)}-")
+    for i, part in enumerate(
+        [
+            e.filter((F.col("ts") >= cutoff) & (F.col("ts") < gap)),
+            e.filter(F.col("ts") >= gap),
+            e.filter(F.col("ts") < cutoff),
+        ]
+    ):
+        sub = tempfile.mkdtemp(prefix=f"sg-late-part{i}-")
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        dest = f"{src}/batch{i}.parquet"
+        os.rename(f"{sub}/{name}", dest)
+        os.utime(dest, (1_000_000 + i * 1000,) * 2)  # replay order = file order
+    s = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "cnt")
+    )
+    out = run_to_memory(agg, f"sg_late_data_{sftag(sf_dir)}")
+    return out.orderBy("window_start")
+
+
 _COUNTER_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

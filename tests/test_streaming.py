@@ -123,3 +123,29 @@ def test_late_data_dropped(spark):
     w10 = out[out.ws == t(10, 0)]
     assert len(w10) == 1, f"window 10:00 should be finalized once, got {out}"
     assert int(w10.cnt.iloc[0]) == 2, "late event_id=4 must NOT be counted"
+
+
+def test_stream_late_data_key_drops_jan1(spark):
+    """The stream_late_data queries() key: Jan-1 events are re-delivered a
+    file AFTER the watermark passed them — no Jan-1 window may be emitted,
+    and every emitted window must match the batch count over Jan-2+ events."""
+    import pandas as pd
+
+    from engine.registry import collect
+    from engine.tables import load
+
+    queries, _ = collect()
+    out = queries["stream_late_data"](spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    cutoff = pd.Timestamp("2024-01-02")
+    assert (out.window_start >= cutoff).all(), "late Jan-1 window leaked through"
+    batch = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("ts") >= "2024-01-02 00:00:00")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .count()
+        .toPandas()
+        .set_index("window_start")["count"]
+    )
+    for ws, cnt in zip(out.window_start, out.cnt):
+        assert int(batch.loc[ws]) == int(cnt), (ws, cnt, batch.loc[ws])
