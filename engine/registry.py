@@ -41,6 +41,9 @@ _OPERATOR_MODULES = [
     "engine.analytics",
     "engine.relational",
     "engine.aggs",
+    # r02 additions stay BELOW the 50-key attestation window on purpose.
+    "engine.tpch_more",
+    "engine.pipeops",
 ]
 
 
