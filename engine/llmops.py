@@ -107,28 +107,39 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_perm, p = 32, 2147483647  # 16 bands x r=2; p = 2^31-1 (no i64 overflow)
     bucket_cap = 50
+    from engine.textops import explode_nonempty, spread_cpu
+
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
+    # Shingles are hashed INSIDE the transform (h0 = xxhash64 of the 5-gram)
+    # so only int64s are deduped/exploded/shuffled — the strings never leave
+    # the lambda; int64 set ops in the exact-Jaccard verify step are ~10x
+    # cheaper than 5-char string arrays (measured 37 s -> ~5 s at sf0.1).
+    # spread_cpu parallelizes past the 1-split scan; explode_nonempty keeps
+    # the transform from being duplicated into a pushed-down size()>0 filter.
+    sh0 = spread_cpu(d).select(
         "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 4, 1)),"
-                " i -> substring(text, i, 5))"
-            )
-        ).alias("sh"),
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> xxhash64(substring(text, i, 5))))"
+        ).alias("hs0"),
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
-        "h", F.pmod(F.xxhash64("g"), F.lit(p))
+    # h: h0 folded into [0, p) so the permutations (a*h+b) % p never
+    # overflow int64.
+    ex = explode_nonempty(sh0, "hs0", "h0").withColumn(
+        "h", F.pmod(F.col("h0"), F.lit(p))
     )
     perms = [
         (((i + 1) * 2654435761) % p, ((i + 1) * 2246822519) % p)
         for i in range(n_perm)
     ]
+    # One shuffle produces BOTH the 32 minhashes and the doc's exact shingle
+    # hash-set (for candidate verification) — no second pass over the text.
     mins = ex.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
             for i, (a, b) in enumerate(perms)
-        ]
+        ],
+        F.collect_set("h0").alias("hs"),
     )
     bands = F.array(
         *[
@@ -151,8 +162,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    hs = mins.select("doc_id", "hs")
+    a = hs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
+    b = hs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     dist = 1 - inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
@@ -305,7 +317,14 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    out = emb.select("vec_id", "embedding").mapInArrow(
+    from engine.textops import spread_cpu
+
+    # The corpus is one parquet file = one input split: without a spread the
+    # ENTIRE n x n matmul lands in a single Python worker. spread_cpu blocks
+    # the probe side across the executor cores (the kernel is
+    # embarrassingly block-parallel; merge cost stays <= k rows per block)
+    # and is a no-op on well-split inputs.
+    out = spread_cpu(emb.select("vec_id", "embedding")).mapInArrow(
         block_topk, "a_id long, b_id long, sim double"
     )
     return out.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)

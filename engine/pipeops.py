@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from engine.registry import query
 from engine.tables import load, sftag
+from engine.textops import explode_nonempty, word_ngram_ids
 
 _TMP = tempfile.gettempdir()
 
@@ -98,19 +99,14 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: shuffle volume is O(candidate pairs) after map-side partial agg;
     hot grams get the df-cap treatment (dedup_near_minhash) when thresholds
     allow — a gram in f docs contributes f² pair rows, so capping f bounds
-    the worst case without touching recall above the cap's support."""
+    the worst case without touching recall above the cap's support.
+
+    r02 plan fixes (20 s → ~2 s warm at sf0.1): int64 gram ids, parallelized
+    shingling, no duplicated transform in a pushed-down explode filter —
+    see engine.textops.word_ngram_ids / explode_nonempty."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-                " i -> concat_ws(' ', split(text, ' ')[i-1],"
-                " split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("s"),
-    )
-    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    sh = word_ngram_ids(d, 3)
+    inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")
     co = (
@@ -281,4 +277,199 @@ def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+         tf  AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c)::BIGINT AS top_freq,
+           round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
+    FROM tf GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition score: frequency of the single most repeated token
+    over total tokens — the cheap tier of the Gopher/C4 repetition filters
+    (docs dominated by one token are boilerplate/spam). Two hash aggs, both
+    keyed by doc_id, so the second is shuffle-FREE: partial counts collapse
+    map-side and the (doc_id, token) grouping already co-locates every row
+    of a doc.
+
+    100 TB: linear; no joins; state per task is O(distinct tokens per
+    partition). The same tf relation feeds text_vocab_coverage — at pipeline
+    scale you'd materialize it once."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_freq"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT floor(log2(n_chars))::BIGINT AS len_bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: log2-bucketed doc-length histogram — the
+    standard first look at a crawl dump (truncation spikes, boilerplate
+    shelves, length-filter thresholds all show up as bucket anomalies).
+
+    100 TB: reads ONE int column (ReadSchema prunes text itself), collapses
+    to ~20 buckets map-side; this is the cheapest possible full-corpus scan
+    and the template for any metadata-only profiling pass."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.groupBy(F.floor(F.log2("n_chars")).alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+@query(
+    "sample_balanced_lang",
+    oracle="""
+    WITH m AS (SELECT min(n) AS m
+               FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+         r AS (SELECT doc_id, lang,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY (doc_id * 2654435761) % 2147483647, doc_id
+                      ) AS rn
+               FROM documents)
+    SELECT doc_id, lang FROM r, m WHERE rn <= m.m
+    """,
+)
+def sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsample: every language contributes exactly
+    min-language-count docs, chosen by deterministic hash order (a seeded
+    shuffle both engines replay bit-for-bit — the polynomial (doc_id * K)
+    mod 2^31-1 stands in for rand(seed), which never cross-matches).
+    This is the rebalancing step before mixing a multilingual training set.
+
+    100 TB: the min count is a 2-level agg collapsed to one broadcast row;
+    per-lang ordering is a row_number window — one shuffle on lang. With few
+    huge language partitions this skews; the production variant exchanges
+    exactness for a per-partition quota (sample by hash < m/n_lang threshold,
+    the data_split_stratified trick) to avoid the per-lang sort entirely."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    m = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "emb_centroid_by_label",
+    oracle="""
+    SELECT label, pos::BIGINT AS pos, round(avg(v), 6) AS centroid
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dimension, mean) —
+    the building block for IVF coarse quantizers, label-cluster quality
+    checks, and class-prototype classifiers. Long form keeps the oracle
+    compare scalar (no array-column hashing) and the agg a plain
+    (label, pos) hash aggregate.
+
+    100 TB: posexplode multiplies rows by dim BEFORE partial agg, but the
+    partial collapses to labels x dim cells per task, so shuffle volume is
+    O(tasks x labels x dim) — independent of row count. For wide dims
+    prefer the vectorized per-partition numpy sum (sim_ann_ivf's trainer
+    does exactly that); this key is the pure-SQL formulation."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).cast("bigint").alias("pos"), F.col("col").alias("v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+         vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok
+                                  GROUP BY t ORDER BY c DESC, t LIMIT 20)),
+         hit AS (SELECT doc_id,
+                        count(*) AS n_tokens,
+                        sum(CASE WHEN t IN (SELECT t FROM vocab)
+                                 THEN 1 ELSE 0 END)::BIGINT AS in_vocab
+                 FROM tok GROUP BY doc_id)
+    SELECT doc_id, n_tokens, in_vocab,
+           round(in_vocab::DOUBLE / n_tokens, 6) AS coverage
+    FROM hit
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc coverage by the corpus's top-20 vocabulary: the fraction of a
+    doc's tokens that are corpus-frequent — low coverage flags outlier docs
+    (wrong language, encoding garbage, code-in-text) for the cleaning queue.
+
+    Two-phase: (1) global term counts -> top-20 (a map-side-collapsed agg +
+    tiny sort), (2) re-tokenize with a broadcast membership check — a
+    broadcast LEFT join, counted per doc. The token stream is never
+    shuffled twice: phase 2's agg keys on doc_id only.
+
+    100 TB: vocab is O(20) rows broadcast; both apexes are linear passes.
+    The deliberate double tokenization trades recompute for never
+    materializing the token stream — the standard choice when tokens
+    outweigh the text 5:1."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(20)
+        .select("t", F.lit(1).alias("hit"))
+    )
+    cov = F.col("in_vocab").cast("double") / F.col("n_tokens")
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("in_vocab"),
+        )
+        .select("doc_id", "n_tokens", "in_vocab", F.round(cov, 6).alias("coverage"))
     )

@@ -386,44 +386,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join: order pairs whose dates fall within a 7-day window.
+    """Interval join: count order pairs whose dates fall within a 7-day window.
 
-    Scale path (used here, not just documented): a naive range join is a
-    nested-loop O(n²). We bucket by week — a [d, d+7d) window overlaps at
-    most 2 week buckets, so the left side explodes into its ≤2 covering
-    buckets and the join becomes an equi-join on the bucket + residual range
-    filter. Each right row lives in exactly one bucket → no dedup needed.
-    """
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    a = (
-        o.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.date_trunc("week", F.col("o_orderdate")),
-                    F.date_trunc("week", F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
-                )
-            ),
-        )
-        .dropDuplicates(["o_orderkey", "bucket"])
-        .select(
-            F.col("o_orderkey").alias("a_key"),
-            F.col("o_orderdate").alias("a_date"),
-            "bucket",
-        )
+    Scale path (used here, not just documented): the pair space is O(n·w)
+    — at sf0.1 already ~55M pairs — but the query only needs COUNTS, so we
+    never enumerate pairs. Decompose: pre-aggregate orders to per-day counts
+    (bounded by the date domain, ~2.4k rows at ANY scale factor), range-join
+    the day table with itself (broadcast — it is tiny by construction), and
+    multiply counts. The only row-scale work is one map-side-combinable
+    groupBy(o_orderdate); everything after is O(days·7). Same-date self-pairs
+    (a_key = b_key) are removed arithmetically: a day with c orders
+    contributes c·c ordered same-day pairs of which exactly c are self-pairs,
+    so subtracting sum(c) per week yields the a<>b count without touching
+    order keys. For pair-ENUMERATING interval joins see join_theta_range /
+    join_asof, which keep the explode-to-bucket equi-join shape."""
+    o = load(spark, sf_dir, "orders")
+    days = o.groupBy(F.col("o_orderdate").alias("a_date")).agg(
+        F.count("*").alias("a_cnt")
     )
-    b = o.select(
-        F.col("o_orderkey").alias("b_key"),
-        F.col("o_orderdate").alias("b_date"),
-        F.date_trunc("week", F.col("o_orderdate")).alias("bucket"),
+    bdays = days.select(
+        F.col("a_date").alias("b_date"), F.col("a_cnt").alias("b_cnt")
     )
-    pairs = a.join(b, "bucket").filter(
+    pairs = days.join(
+        F.broadcast(bdays),
         (F.col("b_date") >= F.col("a_date"))
-        & (F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY"))
-        & (F.col("a_key") != F.col("b_key"))
+        & (F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY")),
     )
-    return pairs.groupBy(F.date_trunc("week", F.col("a_date")).alias("wk")).agg(
-        F.count("*").alias("pair_cnt")
+    return (
+        pairs.groupBy(F.date_trunc("week", F.col("a_date")).alias("wk"))
+        .agg(
+            (
+                F.sum(F.col("a_cnt") * F.col("b_cnt"))
+                - F.sum(
+                    F.when(F.col("a_date") == F.col("b_date"), F.col("a_cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("pair_cnt")
+        )
+        # the oracle's count(*) can't emit 0: a week whose only orders are
+        # isolated single-order days decomposes to c*c - c = 0 pairs here
+        # and to NO row there — drop the zeros to match.
+        .filter(F.col("pair_cnt") > 0)
     )
 
 

@@ -89,7 +89,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInArrow(
+    from engine.textops import spread_cpu
+
+    # spread the probe side past the 1-split scan (see sim_topk_pairs).
+    return spread_cpu(emb.select("vec_id", "embedding")).mapInArrow(
         block_pairs, "a_id long, b_id long, sim double"
     )
 

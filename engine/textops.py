@@ -40,6 +40,41 @@ def _tok_hash_expr(col: str) -> str:
     )
 
 
+def spread_cpu(df: DataFrame) -> DataFrame:
+    """Repartition ahead of a CPU-heavy per-row transform IF the scan is
+    under-parallel (the sf corpora are single parquet files → 1 input split,
+    so 31 of 32 local cores idle through the shingling stage; measured 20 s →
+    1.6 s on text_containment at sf0.1). At 100 TB the scan already has
+    thousands of splits and this is a no-op — the gate keeps the extra
+    shuffle out of the plan exactly when it wouldn't pay for itself."""
+    parts = df.rdd.getNumPartitions()
+    want = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(want) if parts < want else df
+
+
+def word_ngram_ids(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s: array<bigint>) — distinct word-n-gram ids per doc, as
+    xxhash64 of the space-joined gram. Set ops and join keys on int64 are
+    ~10x cheaper than on gram strings (the strings only exist inside the
+    lambda); collision probability over a corpus-wide gram vocabulary is
+    ~|V|²/2⁶⁴ — negligible against any similarity threshold."""
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(split(text,' '))-{n - 1},0)),"
+        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n})))))"
+    )
+    return spread_cpu(d).select("doc_id", F.expr(expr).alias("s"))
+
+
+def explode_nonempty(df: DataFrame, arr: str, out: str) -> DataFrame:
+    """explode() that does NOT re-evaluate the array expression: plain
+    explode(outer=false) implies a `size(arr) > 0` filter that Catalyst
+    pushes into the scan, duplicating the (expensive) array computation in
+    the plan; explode_outer emits one null row instead, filtered after."""
+    return df.select(*[c for c in df.columns if c != arr], F.explode_outer(arr).alias(out)).filter(
+        F.col(out).isNotNull()
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID
 # ---------------------------------------------------------------------------
@@ -300,19 +335,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: map-side partial aggregation collapses the (pair, gram) stream
     before the shuffle, so shuffle volume is O(distinct candidate pairs),
     not O(shared-gram occurrences); hot-gram blow-up is bounded the same way
-    as dedup_near_minhash (df-cap) when the threshold allows it."""
+    as dedup_near_minhash (df-cap) when the threshold allows it.
+
+    r02 plan fixes (19 s → ~2 s warm at sf0.1): grams are int64 xxhash64 ids
+    (word_ngram_ids), the shingling stage is parallelized past the 1-split
+    scan (spread_cpu), and the explode no longer duplicates the transform
+    into a pushed-down size()>0 scan filter (explode_nonempty)."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-                " i -> concat_ws(' ', split(text, ' ')[i-1],"
-                " split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("s"),
-    )
-    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    sh = word_ngram_ids(d, 3)
+    inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")
     co = (

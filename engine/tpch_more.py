@@ -1,7 +1,13 @@
 """Second batch of TPC-H-shaped composites (r02): the remaining queries the
-corpus's schema subset can express (no partsupp table, no ship/commit/receipt
-dates, no c_phone — Q2/4/9/11/12/16/20/21 are out of reach by construction;
-Q1/5/7/10/13/19/22 adapt cleanly and are implemented here).
+corpus's schema subset can express. Q1/5/7/10/13/19/22 adapt cleanly and are
+implemented here verbatim-shaped; Q4/8/9/15/16/17 lack a column or table the
+official text needs (no partsupp, no commit/receipt dates, no p_container)
+and ship below as ADAPTED variants that keep the query's SHAPE — the
+exists-semi-join of Q4, the share-of-group ratio of Q8, the multi-dim
+profit rollup of Q9, the agg-view + argmax of Q15, the distinct-count
+anti-filtered rollup of Q16, the correlated-avg filter of Q17 — with
+substitute predicates drawn from columns the corpus has. Q2/11/12/20/21 stay
+out of reach (their core semantic IS the missing partsupp/shipmode data).
 
 Same discipline as engine.analytics: every double aggregate is F.round'ed
 JVM-side with the identical alias in the oracle, filters sit directly on
@@ -375,4 +381,283 @@ def tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), ADAPTED: the official predicate is
+    l_commitdate < l_receiptdate (late receipt); the corpus carries neither,
+    so the EXISTS tests l_shipdate > o_orderdate (shipped after ordering) —
+    same correlated-EXISTS shape, one quarter of orders.
+
+    100 TB: EXISTS compiles to a LEFT SEMI join on orderkey — lineitem is
+    pre-filtered to the key+date columns, orders to one quarter (pushed scan
+    filter), and the semi join short-circuits per key; final agg is ~5 groups
+    map-side collapsed."""
+    lo, hi = "1997-01-01", "1997-04-01"
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), ADAPTED: NATION_3's share of ECONOMY
+    part revenue sold to AMERICA-region customers, by order year (official
+    text fixes BRAZIL/AMERICA/'ECONOMY ANODIZED STEEL'; the corpus's nation
+    names and single-word p_type substitute 1:1 — the share-of-group
+    conditional-aggregate shape is untouched).
+
+    100 TB: the five dimension joins (customer, nation x2, region, supplier,
+    part) all broadcast — only lineitem⋈orders shuffles at fact scale; the
+    CASE/sum ratio needs no second pass, one hash agg on ~2 year groups."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = load(spark, sf_dir, "supplier")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = cust.join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey).join(
+        F.broadcast(region), n1.n_regionkey == region.r_regionkey
+    )
+    sn = supp.join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        rev.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_profit_rollup",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), ADAPTED: profit per supplier nation
+    per year over parts whose name matches a pattern. The official cost term
+    is ps_supplycost (partsupp is absent), so unit cost substitutes
+    0.4 * p_retailprice — the join graph (fact ⋈ orders ⋈ supplier ⋈ nation
+    ⋈ part with a LIKE filter) and the rollup shape are Q9's.
+
+    100 TB: part is filtered by the LIKE before its (broadcast) join;
+    supplier+nation broadcast; lineitem⋈orders is the one fact shuffle and
+    the agg collapses to nations x years ≈ 175 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with max quarterly revenue —
+    the agg-view + scalar-max-subquery shape, ties kept exactly as the
+    official query does (= max, not LIMIT 1). Rounds the revenue BEFORE the
+    max comparison on both engines so float ties agree bit-for-bit.
+
+    100 TB: one pushed date filter + suppkey agg (map-side combine to
+    ~|suppliers| rows); the scalar max is a 1-row broadcast joined back as a
+    filter; supplier join broadcasts the agg side (it is ≤ |suppliers|)."""
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(revenue), supp.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'STANDARD' AND p_size IN (1, 5, 9)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), ADAPTED: how many distinct
+    suppliers ship each (brand, type, size) combination, excluding one brand
+    and one type — official text counts ps_suppkey from partsupp and
+    anti-joins a complaints subquery; with no partsupp table the
+    supplier-per-part relation is taken from lineitem's actual shipments.
+    The NOT-pattern filters and distinct-count rollup shape are Q16's.
+
+    100 TB: part is filtered then broadcast into the fact; distinct-count
+    shuffles (brand,type,size,suppkey) pairs once — partial dedup map-side —
+    then counts per group; output is bounded by the dimension cross product,
+    not the fact."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "STANDARD")
+        & (F.col("p_size").isin(1, 5, 9))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if orders under
+    half a part's average quantity were dropped, for one brand (official adds
+    p_container, which the corpus lacks; the correlated-average filter — the
+    query's point — is intact).
+
+    100 TB: the correlated scalar subquery decorrelates to a per-partkey avg
+    (map-side combinable) joined back on partkey. The avg is computed over
+    the BRAND-filtered fact only — semantically identical because the filter
+    is on the join's part side, and ~25x less data than the official
+    all-parts decorrelation. Both joins broadcast the small side."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
