@@ -320,11 +320,10 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.textops import spread_cpu
 
     # The corpus is one parquet file = one input split: without a spread the
-    # ENTIRE n x n matmul lands in a single Python worker. spread_cpu blocks
-    # the probe side across the executor cores (the kernel is
-    # embarrassingly block-parallel; merge cost stays <= k rows per block)
-    # and is a no-op on well-split inputs.
-    out = spread_cpu(emb.select("vec_id", "embedding")).mapInArrow(
+    # ENTIRE n x n matmul lands in a single Python worker. Width 8, not the
+    # core count — each partition pays per-worker broadcast deserialization
+    # (see spread_cpu's docstring) — and the merge stays <= k rows per block.
+    out = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInArrow(
         block_topk, "a_id long, b_id long, sim double"
     )
     return out.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)

@@ -91,8 +91,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from engine.textops import spread_cpu
 
-    # spread the probe side past the 1-split scan (see sim_topk_pairs).
-    return spread_cpu(emb.select("vec_id", "embedding")).mapInArrow(
+    # spread the probe side past the 1-split scan (see sim_topk_pairs;
+    # width 8 — Python-kernel stage, per-partition broadcast cost).
+    return spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInArrow(
         block_pairs, "a_id long, b_id long, sim double"
     )
 

@@ -40,15 +40,23 @@ def _tok_hash_expr(col: str) -> str:
     )
 
 
-def spread_cpu(df: DataFrame) -> DataFrame:
+def spread_cpu(df: DataFrame, width: int | None = None) -> DataFrame:
     """Repartition ahead of a CPU-heavy per-row transform IF the scan is
     under-parallel (the sf corpora are single parquet files → 1 input split,
     so 31 of 32 local cores idle through the shingling stage; measured 20 s →
     1.6 s on text_containment at sf0.1). At 100 TB the scan already has
     thousands of splits and this is a no-op — the gate keeps the extra
-    shuffle out of the plan exactly when it wouldn't pay for itself."""
+    shuffle out of the plan exactly when it wouldn't pay for itself.
+
+    width: default full core count — right for JVM-codegen transforms
+    (shingling, regex), whose per-partition overhead is ~zero. For
+    Python-kernel stages (mapInArrow/mapInPandas with a broadcast side) pass
+    a SMALLER width (~8): each extra partition pays Arrow setup + per-worker
+    broadcast deserialization, which at full width costs more than the
+    parallelism buys back (measured 0.7 s → 1.8 s going 1 → 32 partitions on
+    the sim_topk kernel, but 0.7 s → 0.45 s at 4–8)."""
     parts = df.rdd.getNumPartitions()
-    want = df.sparkSession.sparkContext.defaultParallelism
+    want = width or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(want) if parts < want else df
 
 
