@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     # r02 additions stay BELOW the 50-key attestation window on purpose.
     "engine.tpch_more",
     "engine.pipeops",
+    "engine.vecops",
 ]
 
 

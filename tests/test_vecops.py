@@ -1,0 +1,81 @@
+"""Unit tests for the r02 vector-ops batch (engine/vecops.py): RP-LSH recall
+against the exact top-k answer, and PCA's linear-algebra contracts — the
+checks the driver's ROWS-only oracle can't express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR, SF_DIR_MID
+
+
+def _exact_topk_pairs(spark, sf_dir, k=10):
+    from engine.llmops import sim_topk_pairs
+
+    return {
+        (r["a_id"], r["b_id"])
+        for r in sim_topk_pairs(spark, sf_dir).collect()
+    }
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_MID])
+def test_rp_lsh_recall(spark, sf_dir):
+    """Multi-probe RP-LSH must recover >= 80% of the exact top-10 pairs at
+    both the unit SF and the driver's verify SF (mirrors the IVF recall
+    bound VERDICT r01 item 6 asked for)."""
+    from engine.vecops import sim_ann_rp_lsh
+
+    exact = _exact_topk_pairs(spark, sf_dir)
+    approx = {(r["a_id"], r["b_id"]) for r in sim_ann_rp_lsh(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"RP-LSH recall {recall} < 0.8 at {sf_dir}"
+
+
+def test_pca_contracts(spark):
+    """Projection must (a) be deterministic across calls, (b) have
+    column variances in decreasing order (top components first), and
+    (c) reproduce numpy's reference PCA on the same vectors up to the
+    fixed-sign convention."""
+    from engine.tables import load
+    from engine.vecops import emb_pca_project
+
+    out = emb_pca_project(spark, SF_DIR).toPandas()
+    proj = np.stack(out["pc"].to_numpy())
+    assert proj.shape[1] == 4
+
+    # (a) deterministic re-run (fresh plan, same result)
+    out2 = emb_pca_project(spark, SF_DIR).toPandas()
+    assert np.allclose(proj, np.stack(out2["pc"].to_numpy()))
+
+    # (b) variance ordering
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
+
+    # (c) reference PCA on the collected vectors (tiny at sf0.001)
+    emb = load(spark, SF_DIR, "embeddings").orderBy("vec_id").toPandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mu = mat.mean(axis=0)
+    cov = np.cov(mat.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :4]
+    for j in range(4):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ref = np.round((mat - mu) @ comps, 6)
+    assert np.allclose(proj, ref, atol=1e-5)
+
+
+def test_scalar_quantize_bounds(spark):
+    """Quantized codes live in [0, 255]; each dimension's min maps to 0 and
+    its max to 255 (full range used)."""
+    from engine.vecops import emb_scalar_quantize
+
+    q = emb_scalar_quantize(spark, SF_DIR).toPandas()
+    assert q["q"].between(0, 255).all()
+    per_dim = q.groupby("pos")["q"].agg(["min", "max"])
+    # the probe subset (vec_id < 500) is the whole corpus at sf0.001, so the
+    # global extremes are present and every dimension must hit both ends
+    assert (per_dim["min"] == 0).all()
+    assert (per_dim["max"] == 255).all()
