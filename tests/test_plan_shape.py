@@ -102,3 +102,43 @@ def test_q6_pushes_all_filters(spark):
     m = re.search(r"ReadSchema: struct<[^\n]*", plan)
     assert m and "l_extendedprice" in m.group(0), plan
     assert "l_orderkey" not in m.group(0), m.group(0)
+
+
+def test_interval_join_preaggregates(spark):
+    # r02: count-only interval join must never enumerate the O(n·w) pair
+    # space — the range join runs on per-day AGGREGATES (both join children
+    # contain a HashAggregate below them), and the big side is never joined
+    # raw.
+    plan = _plan(spark, "join_interval")
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    if join_pos < 0:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos >= 0, plan
+    below = plan[join_pos:]
+    assert below.count("HashAggregate") >= 2, plan
+
+
+def test_ngram_keys_single_generate(spark):
+    # r02: the explode's implicit size()>0 filter must NOT duplicate the
+    # shingling transform into the scan — each side of the inverted-index
+    # join carries exactly one Generate and no transform() inside a scan
+    # DataFilter.
+    for key in ("dedup_ngram_jaccard", "text_containment"):
+        plan = _plan(spark, key)
+        scans = re.findall(r"DataFilters: \[[^\]]*\]", plan)
+        assert not any("transform(" in s for s in scans), (key, scans)
+
+
+def test_tpch_q8_q9_broadcast_dims(spark):
+    # every dimension of the adapted Q8/Q9 must broadcast — exactly one
+    # fact-scale shuffle join (lineitem ⋈ orders) is allowed
+    for key, n_bc in (("tpch_q8_market_share", 5), ("tpch_q9_profit_rollup", 3)):
+        plan = _plan(spark, key)
+        assert plan.count("BroadcastHashJoin") >= n_bc, (key, plan)
+
+
+def test_funnel_no_window_sort(spark):
+    # the funnel is anchored min-aggs + joins; a Window/Sort over the raw
+    # event stream would be the non-scalable formulation
+    plan = _plan(spark, "etl_funnel_stages")
+    assert "Window" not in plan, plan
