@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "engine.tpch_more",
     "engine.pipeops",
     "engine.vecops",
+    "engine.extras2",
 ]
 
 
