@@ -2,10 +2,13 @@
 SparkSession. Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-The same line also carries the FULL registry sweep (VERDICT r01 item 8): every
-queries() key timed once on the warm session, under "sweep": {key: sec} plus
-"sweep_total_sec" — so per-family regressions are visible round-over-round,
-not just the six headliners. Set SPARK_GRAFT_BENCH_FULL=0 to skip the sweep.
+A FULL registry sweep (VERDICT r01 item 8) also runs: every queries() key
+timed once on the warm session. It is written to BENCH_SWEEP.json and printed
+as its OWN earlier JSON line — NOT folded into the final headline line. (In
+round 2 the sweep was embedded in the headline line, which grew past the
+driver's output-capture window and made BENCH_r02.json unparseable:
+`"parsed": null` with only a tail recorded. The last stdout line must stay
+small.) Set SPARK_GRAFT_BENCH_FULL=0 to skip the sweep.
 
 Methodology mirrors BASELINE.md's DuckDB measurement: views over parquet, one
 warm-up run, one timed run per query (collect included), JVM startup excluded.
@@ -96,9 +99,27 @@ def main() -> int:
                 sweep[name] = round(time.perf_counter() - t0, 4)
             except Exception:
                 sweep[name] = -1.0  # visible failure marker, never crash bench
-        out["sweep"] = sweep
-        out["sweep_total_sec"] = round(sum(v for v in sweep.values() if v > 0), 4)
-        out["sweep_failed"] = sorted(k for k, v in sweep.items() if v < 0)
+        sweep_out = {
+            "metric": "full_sweep_total_warm",
+            "value": round(sum(v for v in sweep.values() if v > 0), 4),
+            "unit": "sec",
+            "sf": sf,
+            "n_keys": len(sweep),
+            "failed": sorted(k for k, v in sweep.items() if v < 0),
+            "sweep": sweep,
+        }
+        # Own line + sidecar file; the headline line below stays last & small.
+        print(json.dumps(sweep_out))
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SWEEP.json"), "w"
+            ) as fh:
+                json.dump(sweep_out, fh, indent=1)
+        except OSError:
+            pass
+        out["sweep_total_sec"] = sweep_out["value"]
+        out["sweep_failed_n"] = len(sweep_out["failed"])
 
     print(json.dumps(out))
     spark.stop()

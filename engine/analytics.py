@@ -428,28 +428,36 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_topk_collect",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(o_totalprice), 'DESC')[1:3] AS top3_prices,
+           list_sort(list(o_totalprice), 'DESC')[1] AS top1,
+           list_sort(list(o_totalprice), 'DESC')[2] AS top2,
+           list_sort(list(o_totalprice), 'DESC')[3] AS top3,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def agg_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k VALUES as an array column — collect, sort desc, slice.
-    The raw doubles pass through un-arithmeticked, so the array is
-    bit-identical across engines (SURVEY §5.3: only aggregates get rounded).
+    """Per-group top-k VALUES — collect, sort desc, slice, then unpack the
+    slice into scalar columns (the driver's canonicalizer sorts result
+    columns with pandas, which cannot order array cells — every key returns
+    scalar columns only; same convention as agg_collect_sorted). The raw
+    doubles pass through un-arithmeticked, so values are bit-identical
+    across engines (SURVEY §5.3: only aggregates get rounded).
     At 100 TB, collect_list on a high-cardinality group is the memory
     hazard — the scale-safe variant is the window row_number <= k filter
     (win_row_number_topk) or a partial top-k aggregate; this key keeps
     k tiny and groups few, the shape where collect-then-slice wins (one
     shuffle, no sort of the full table)."""
+    top = F.reverse(F.array_sort(F.collect_list("o_totalprice")))
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(
-            F.slice(F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3).alias(
-                "top3_prices"
-            ),
-            F.count(F.lit(1)).alias("n_orders"),
+        .agg(top.alias("_top"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.element_at("_top", 1).alias("top1"),
+            F.element_at("_top", 2).alias("top2"),
+            F.element_at("_top", 3).alias("top3"),
+            "n_orders",
         )
     )

@@ -38,14 +38,14 @@ _TMP = tempfile.gettempdir()
     "etl_validate_quarantine",
     oracle="""
     SELECT c_custkey,
-           list_sort(list_filter([
+           coalesce(array_to_string(list_sort(list_filter([
              CASE WHEN c_acctbal < -1000 OR c_acctbal > 11000
                   THEN 'acctbal_range' END,
              CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
                                             'HOUSEHOLD','MACHINERY')
                   THEN 'bad_segment' END,
              CASE WHEN length(c_name) < 5 THEN 'short_name' END
-           ], x -> x IS NOT NULL)) AS violations,
+           ], x -> x IS NOT NULL)), ','), '') AS violations,
            (c_acctbal >= -1000 AND c_acctbal <= 11000
             AND c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
                                  'HOUSEHOLD','MACHINERY')
@@ -54,11 +54,14 @@ _TMP = tempfile.gettempdir()
     """,
 )
 def etl_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field validation with quarantine routing: every row keeps a sorted
-    array of rule violations plus an is_valid flag — one zero-shuffle pass;
-    `filter(is_valid)` is the load stream, `filter(!is_valid)` the
-    quarantine. Rules are declarative Column predicates, so adding one is a
-    one-line change and Catalyst folds them into the same projection."""
+    """Field validation with quarantine routing: every row keeps a sorted,
+    comma-joined list of rule violations plus an is_valid flag — one
+    zero-shuffle pass; `filter(is_valid)` is the load stream,
+    `filter(!is_valid)` the quarantine. Rules are declarative Column
+    predicates, so adding one is a one-line change and Catalyst folds them
+    into the same projection. The violation list is emitted as a string, not
+    an array: the driver's canonicalizer sorts result columns with pandas,
+    which cannot order array cells (scalar-columns-only output convention)."""
     c = load(spark, sf_dir, "customer")
     rules = [
         ("acctbal_range", (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 11000)),
@@ -78,7 +81,7 @@ def etl_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
-        viol.alias("violations"),
+        F.array_join(viol, ",").alias("violations"),
         (F.size(viol) == 0).alias("is_valid"),
     )
 

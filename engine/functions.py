@@ -402,11 +402,12 @@ def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_set_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_sort(list_distinct(list_concat(a, b))) AS u,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+           array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ',') AS diff,
            CAST(list_position(a, 2) AS BIGINT) AS pos2,
-           list_filter(a, x -> x <> 1) AS removed,
-           list_concat(a, b) AS flat,
+           array_to_string(list_filter(a, x -> x <> 1), ',') AS removed,
+           array_to_string(list_concat(a, b), ',') AS flat,
            (len(list_filter(a, x -> list_contains(b, x))) > 0) AS overlaps
     FROM (SELECT l_orderkey, l_linenumber,
                  range(1, l_linenumber * 2 + 1) AS a,
@@ -418,7 +419,14 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-operation surface: union/except (sorted for cross-engine
     stability — Spark preserves appearance order, DuckDB doesn't),
     position, remove, flatten, overlap test. All JVM higher-order/array
-    expressions over derived sequences; zero shuffle."""
+    expressions over derived sequences; zero shuffle. Array results are
+    comma-joined to strings: the driver's canonicalizer sorts result columns
+    with pandas, which cannot order array cells (scalar-columns-only output
+    convention, same as agg_collect_sorted)."""
+
+    def joined(col: F.Column) -> F.Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
     d = li.select(
         "l_orderkey",
@@ -429,11 +437,11 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_sort(F.array_union("a", "b")).alias("u"),
-        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        joined(F.array_sort(F.array_union("a", "b"))).alias("u"),
+        joined(F.array_sort(F.array_except("a", "b"))).alias("diff"),
         F.array_position("a", 2).alias("pos2"),
-        F.array_remove("a", 1).alias("removed"),
-        F.flatten(F.array("a", "b")).alias("flat"),
+        joined(F.array_remove("a", 1)).alias("removed"),
+        joined(F.flatten(F.array("a", "b"))).alias("flat"),
         F.arrays_overlap("a", "b").alias("overlaps"),
     )
 

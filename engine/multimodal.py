@@ -101,16 +101,22 @@ def _decode_fake(buf: "bytes", n_cells: int) -> "list[float]":
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary payloads with ``mapInPandas``:
     each Arrow batch of (doc_id, payload, meta) rows yields (doc_id, width,
-    height, features array<float>) — the real-decoder signature, minus the
-    absent codec libs (see _decode_real). Feature = 4×4 byte-block-mean
-    'thumbnail', deterministic so the driver's rows-only check is stable."""
+    height, features) — the real-decoder signature, minus the absent codec
+    libs (see _decode_real). Feature = 4×4 byte-block-mean 'thumbnail',
+    deterministic so the driver's rows-only check is stable. The feature
+    vector is emitted as a fixed-format CSV string, not array<float>: the
+    driver's canonicalizer sorts result columns with pandas, which cannot
+    order array cells (scalar-columns-only output convention)."""
     import pandas as pd
 
     b = binary_table(spark, sf_dir)
 
     def decode(batches):
         for pb in batches:
-            feats = [_decode_fake(buf, THUMB * THUMB) for buf in pb["payload"]]
+            feats = [
+                ",".join(f"{v:.4f}" for v in _decode_fake(buf, THUMB * THUMB))
+                for buf in pb["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pb["doc_id"],
@@ -121,7 +127,7 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return b.mapInPandas(
-        decode, "doc_id long, width int, height int, features array<float>"
+        decode, "doc_id long, width int, height int, features string"
     ).orderBy("doc_id")
 
 

@@ -22,30 +22,30 @@ ORACLES: dict[str, str] = {}
 
 # Module order drives the driver's capped 50-entry CORRECTNESS window
 # (registration order == check order). Round 1 attested relational+aggs;
-# round 2 rotates the never-driver-attested families to the front
-# (llmops/textops/simsearch/multimodal/windows/functions...) so every §2
-# family accumulates at least one round of driver-side evidence. The
-# sf0.001 pytest oracle layer still covers the rotated-out families.
+# round 2 attested llmops/textops/simsearch/multimodal/windows/functions
+# (+ stream_tumbling_1h). Round 3 rotates the remaining never-attested
+# families to the front — udfs/trainext/etl/extras/analytics/tpch_more is
+# exactly 50 keys. Round 4 should front pipeops/vecops/extras2/streaming.
+# The sf0.001 pytest oracle layer still covers the rotated-out families.
 _OPERATOR_MODULES = [
+    "engine.udfs",
+    "engine.trainext",
+    "engine.etl",
+    "engine.extras",
+    "engine.analytics",
+    "engine.tpch_more",
+    "engine.pipeops",
+    "engine.vecops",
+    "engine.extras2",
+    "engine.streaming",
+    "engine.relational",
+    "engine.aggs",
     "engine.llmops",
     "engine.textops",
     "engine.simsearch",
     "engine.multimodal",
     "engine.windows",
     "engine.functions",
-    "engine.streaming",
-    "engine.udfs",
-    "engine.trainext",
-    "engine.etl",
-    "engine.extras",
-    "engine.analytics",
-    "engine.relational",
-    "engine.aggs",
-    # r02 additions stay BELOW the 50-key attestation window on purpose.
-    "engine.tpch_more",
-    "engine.pipeops",
-    "engine.vecops",
-    "engine.extras2",
 ]
 
 

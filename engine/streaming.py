@@ -139,21 +139,32 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # true Structured Streaming (ROWS — engine-internal semantics)
 # ---------------------------------------------------------------------------
 
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos in the raw parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> tuple[T.StructType, bool]:
+    """Raw file-source schema for events + whether ts needs the nanos→ntz
+    conversion. The corpus's ts physical type has varied across generations
+    (int64 nanos vs native timestamp[us]); probe the batch reader's
+    footer-derived dtype once so the streaming source matches either."""
+    ts_is_long = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+        == "bigint"
+    )
+    ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_is_long
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the nanos→ntz conversion
-    applied (file source needs an explicit schema; the raw column is int64).
+    """``readStream`` over the events parquet with the ts column normalized
+    to timestamp_ntz (file source needs an explicit schema).
 
     The streaming file source wants a DIRECTORY to monitor; the corpus is a
     single file, so we expose it through a temp dir of symlinks (read-only —
@@ -163,12 +174,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.session import tune
 
     tune(spark)
+    schema, ts_is_long = _events_raw_schema(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="sg-events-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
-    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(d)
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    raw = spark.readStream.schema(schema).format("parquet").load(d)
+    if ts_is_long:
+        return raw.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -164,12 +164,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # int64 nanos -> microsecond timestamp_ntz; `div` is integer division
-        # (a float divide would lose precision: ~1.7e18 ns > 2^53).
+        # The raw ts physical type has varied across corpus generations:
+        # int64 nanos (needs timestamp_micros(ts div 1000); `div` is integer
+        # division — a float divide would lose precision, ~1.7e18 ns > 2^53)
+        # vs native parquet timestamp[us] (plain cast). Detect from the
+        # footer-derived dtype so either corpus loads to the same pinned
+        # timestamp_ntz schema.
         raw = spark.read.parquet(path)
-        df = raw.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            ts = F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        else:
+            ts = F.col("ts").cast("timestamp_ntz")
+        df = raw.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     else:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)
     _CACHE[key] = df

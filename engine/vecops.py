@@ -288,14 +288,15 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = rb.column("embedding").flatten().to_numpy(zero_copy_only=False)
             mat = flat.astype(np.float64).reshape(len(ids), -1)
             proj = np.round((mat - mu) @ w, 6)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "pc": pa.array([row.tolist() for row in proj]),
-                }
-            )
+            # One scalar column per component (not array<double>): the
+            # driver's canonicalizer sorts result columns with pandas, which
+            # cannot order array cells (scalar-columns-only convention).
+            cols = {"vec_id": pa.array(ids, pa.int64())}
+            for j in range(proj.shape[1]):
+                cols[f"pc{j + 1}"] = pa.array(proj[:, j])
+            yield pa.RecordBatch.from_pydict(cols)
 
     out = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInArrow(
-        project, "vec_id long, pc array<double>"
+        project, "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double"
     )
     return out.orderBy("vec_id")

@@ -40,13 +40,14 @@ def test_pca_contracts(spark):
     from engine.tables import load
     from engine.vecops import emb_pca_project
 
+    pc_cols = ["pc1", "pc2", "pc3", "pc4"]
     out = emb_pca_project(spark, SF_DIR).toPandas()
-    proj = np.stack(out["pc"].to_numpy())
+    proj = out[pc_cols].to_numpy()
     assert proj.shape[1] == 4
 
     # (a) deterministic re-run (fresh plan, same result)
     out2 = emb_pca_project(spark, SF_DIR).toPandas()
-    assert np.allclose(proj, np.stack(out2["pc"].to_numpy()))
+    assert np.allclose(proj, out2[pc_cols].to_numpy())
 
     # (b) variance ordering
     var = proj.var(axis=0)
