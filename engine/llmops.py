@@ -141,6 +141,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.collect_set("h0").alias("hs"),
     )
+    # Three consumers read this subtree (band self-join x/y + the two
+    # verify-side hs joins); without a persist the shingle explode + 32-min
+    # agg — the expensive part — executes once PER consumer. MEMORY_AND_DISK,
+    # sized O(docs x (32 ints + shingle set)): ~80 MB at sf0.1, spills past
+    # memory rather than failing at cluster scale.
+    from pyspark import StorageLevel
+
+    mins = mins.persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(
         *[
             F.struct(
@@ -162,13 +170,38 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
+    # Two-stage verify (r03: 212k candidates for 256 true pairs at sf0.1 made
+    # the exact array_intersect over ~1000-element shingle sets the cost
+    # center — ~2e8 element ops + the arrays shipped through two joins).
+    # Stage 1 estimates Jaccard from the 32 minhash columns already computed
+    # (matching-minhash fraction; 32 small ints per side, not the sets) and
+    # keeps est >= 0.2 — 2.3σ below the 0.4 target threshold (binomial
+    # σ = √(.4·.6/32) ≈ 0.087), so a true threshold pair is dropped with
+    # p ≈ 0.4% and the corpus's actual near-dups (sim ≥ 0.83) never are.
+    # Stage 2 runs the exact set intersection on the few survivors only.
+    est_cols = [f"m{i}" for i in range(n_perm)]
+    ma = mins.select(
+        F.col("doc_id").alias("a_id"), *[F.col(m).alias(f"a_{m}") for m in est_cols]
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("b_id"), *[F.col(m).alias(f"b_{m}") for m in est_cols]
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0) for m in est_cols
+    )
+    pre = (
+        cand.join(ma, "a_id")
+        .join(mb, "b_id")
+        .filter(n_match >= int(0.2 * n_perm))
+        .select("a_id", "b_id")
+    )
     hs = mins.select("doc_id", "hs")
     a = hs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
     b = hs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     dist = 1 - inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
-        cand.join(a, "a_id")
+        pre.join(a, "a_id")
         .join(b, "b_id")
         .filter(dist <= 0.6)
         .select("a_id", "b_id", F.round(dist, 4).alias("jaccard_dist"))
@@ -479,8 +512,12 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a broadcast join against the in-code lexicon (all words exist in the
     corpus vocabulary). Docs with no lexicon hits score 0."""
     d = load(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(
-        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS], ["token", "polarity"]
+    from engine.tables import lit_table
+
+    lex = lit_table(
+        spark,
+        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS],
+        ["token", "polarity"],
     )
     score = (
         _tokens(d)

