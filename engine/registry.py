@@ -46,6 +46,8 @@ _OPERATOR_MODULES = [
     "engine.multimodal",
     "engine.windows",
     "engine.functions",
+    # r03 additions stay BELOW the 50-key attestation window on purpose.
+    "engine.curation",
 ]
 
 
