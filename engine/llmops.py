@@ -353,10 +353,11 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.textops import spread_cpu
 
     # The corpus is one parquet file = one input split: without a spread the
-    # ENTIRE n x n matmul lands in a single Python worker. Width 8, not the
+    # ENTIRE n x n matmul lands in a single Python worker. Width 4, not the
     # core count — each partition pays per-worker broadcast deserialization
     # (see spread_cpu's docstring) — and the merge stays <= k rows per block.
-    out = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInArrow(
+    # (r03 width sweep at sf0.1: 2→217 ms, 4→206 ms, 8→232 ms, 16→317 ms.)
+    out = spread_cpu(emb.select("vec_id", "embedding"), width=4).mapInArrow(
         block_topk, "a_id long, b_id long, sim double"
     )
     return out.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
