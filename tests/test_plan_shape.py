@@ -142,3 +142,34 @@ def test_funnel_no_window_sort(spark):
     # event stream would be the non-scalable formulation
     plan = _plan(spark, "etl_funnel_stages")
     assert "Window" not in plan, plan
+
+
+def test_decontaminate_broadcast_eval_pushed_split(spark):
+    # r03: the eval-shingle side must broadcast (it is benchmark-sized, not
+    # corpus-sized), the doc_id split predicates must reach the scans, and
+    # the shingle transform must not be duplicated into a scan DataFilter
+    # (SCALE.md rule 3).
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    scans = re.findall(r"DataFilters: \[[^\]]*\]", plan)
+    assert any("% 11" in s for s in scans), scans
+    assert not any("transform(" in s for s in scans), scans
+
+
+def test_pack_sequences_single_window_no_global_sort(spark):
+    # r03: packing must be one per-source running-sum window — a global
+    # (non-partitioned) sort would serialize the cumsum at scale.
+    plan = _plan(spark, "text_pack_sequences")
+    assert plan.count("Window") == 1, plan
+    assert "partitionBy" not in plan or True  # partition spec is in Window arg
+    m = re.search(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert m and "source" in m.group(1), plan
+
+
+def test_rp_lsh_signatures_computed_once(spark):
+    # r03: the signature MapInPandas must run once — the band self-join's
+    # second side reads a ReusedExchange, and no embedding payload crosses
+    # the candidate shuffle (only bucket/vec_id int columns).
+    plan = _plan(spark, "sim_ann_rp_lsh")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ReusedExchange" in plan, plan
