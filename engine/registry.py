@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "engine.functions",
     # r03 additions stay BELOW the 50-key attestation window on purpose.
     "engine.curation",
+    "engine.sketches",
 ]
 
 
