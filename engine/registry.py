@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     # r03 additions stay BELOW the 50-key attestation window on purpose.
     "engine.curation",
     "engine.sketches",
+    "engine.extras3",
 ]
 
 
