@@ -12,8 +12,10 @@ small.) Set SPARK_GRAFT_BENCH_FULL=0 to skip the sweep.
 
 Methodology mirrors BASELINE.md's DuckDB measurement: views over parquet, one
 warm-up run, one timed run per query (collect included), JVM startup excluded.
-Sweep keys are single-run (plan build + execute) — coarser than the
-best-of-3 headliners, but stable enough to flag a 2× family regression.
+Sweep keys are median-of-N fresh runs (default N=3, SPARK_GRAFT_SWEEP_RUNS;
+each run is a full plan build + execution via the unmemoized fn) — r03's
+single-run sweep showed ~1.3-2× jitter on sub-second keys, masking real
+regressions.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 """
 
@@ -88,15 +90,25 @@ def main() -> int:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        # r04 (VERDICT item 5): n-run medians instead of single runs — the
+        # sweep showed ~1.3-2× jitter on sub-second keys between rounds,
+        # masking real regressions. Each run uses the UNMEMOIZED fn
+        # (plan build + full execution, incl. re-running one-shot streaming
+        # jobs); the median absorbs Python-worker cold starts + contention.
+        n_runs = int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "3"))
         sweep: dict[str, float] = {}
         for name in sorted(queries):
-            t0 = time.perf_counter()
+            fresh = getattr(queries[name], "__wrapped__", queries[name])
+            runs: list[float] = []
             try:
-                # count() not collect(): sweep times the plan, not driver
-                # materialization of wide results (scan_parquet at sf0.1 would
-                # otherwise spend its time pickling 600k rows to Python).
-                queries[name](spark, SF_DIR).count()
-                sweep[name] = round(time.perf_counter() - t0, 4)
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    # count() not collect(): sweep times the plan, not driver
+                    # materialization of wide results (scan_parquet at sf0.1
+                    # would otherwise spend its time pickling 600k rows).
+                    fresh(spark, SF_DIR).count()
+                    runs.append(time.perf_counter() - t0)
+                sweep[name] = round(sorted(runs)[len(runs) // 2], 4)
             except Exception:
                 sweep[name] = -1.0  # visible failure marker, never crash bench
         sweep_out = {
@@ -104,6 +116,7 @@ def main() -> int:
             "value": round(sum(v for v in sweep.values() if v > 0), 4),
             "unit": "sec",
             "sf": sf,
+            "runs_per_key": n_runs,
             "n_keys": len(sweep),
             "failed": sorted(k for k, v in sweep.items() if v < 0),
             "sweep": sweep,

@@ -102,18 +102,49 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # ROWS: HLL sketches differ across engines
+@query(
+    "agg_approx_distinct",
+    # FULL oracle (r04): HLL sketch values are engine-specific, so the raw
+    # approx count can never hash-match — instead the Spark side emits the
+    # exact count plus a *verified tolerance flag* (|approx−exact| ≤ 5%·exact;
+    # Spark's HLL++ is deterministic, so the flag is stable), and the oracle
+    # asserts the flag is TRUE with the exact count. An HLL regression now
+    # flips the flag and fails the driver hash check.
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS cnt,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count per group. No SQL oracle (sketch values
-    are engine-specific); tests/test_properties.py asserts <5% relative error
-    vs the exact count.
+    """HyperLogLog++ distinct count per group, self-validated against the
+    exact distinct count (≤5% relative error, 2.5× the rsd=0.02 setting;
+    tests/test_properties.py pins the same bound). The approx value itself
+    stays out of the output (sketch estimates are engine-specific).
 
-    100 TB: this is the *right* distinct-count at scale — fixed-size sketch
-    per group, mergeable map-side, no Expand blow-up."""
+    100 TB: approx_count_distinct is the *right* distinct-count at scale —
+    fixed-size sketch per group, mergeable map-side, no Expand blow-up. The
+    exact count_distinct here exists only to validate; production use drops
+    it (and the oracle demotes to ROWS)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count("*").alias("cnt"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "cnt",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -363,19 +394,50 @@ def agg_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_median")  # ROWS: KLL/GK sketches are engine-internal
+@query(
+    "agg_approx_median",
+    # FULL oracle (r04): GK-sketch outputs are engine-internal and can never
+    # hash-match DuckDB's exact quantile — so the Spark side emits verified
+    # tolerance flags (|approx−exact_interpolated| ≤ 1%·exact; the GK sketch
+    # is deterministic, so the flags are stable) and the oracle asserts TRUE
+    # alongside the group cardinality. A sketch regression flips a flag and
+    # fails the driver hash check.
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           TRUE AS median_ok,
+           TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate median + p90 per group via percentile_approx (GK sketch,
-    accuracy 10000). ROWS-only: the sketch's exact output differs from
-    DuckDB's exact quantile — the |approx−exact| < 1% relative-error bound
-    is unit-tested in tests/test_trainops.py. This is the scale path of
-    agg_percentile (exact): the sketch is mergeable, so it's partial+final
-    with bounded state, while exact percentile must sort each group."""
+    accuracy 10000), self-validated against Spark's exact interpolated
+    percentile within 1% relative error (same bound unit-tested in
+    tests/test_trainops.py). This is the scale path of agg_percentile
+    (exact): the sketch is mergeable, so it's partial+final with bounded
+    state, while exact percentile must sort each group — the exact side here
+    exists only to validate; production use drops it."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
-        F.count(F.lit(1)).alias("n"),
+
+    def ok(approx: F.Column, exact: F.Column) -> F.Column:
+        return F.abs(approx - exact) <= 0.01 * F.abs(exact)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("ap"),
+            F.percentile("l_extendedprice", 0.5).alias("em"),
+            F.percentile("l_extendedprice", 0.9).alias("ep"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            ok(F.col("am"), F.col("em")).alias("median_ok"),
+            ok(F.col("ap"), F.col("ep")).alias("p90_ok"),
+        )
     )
 
 

@@ -257,7 +257,17 @@ def text_keyword_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreachbatch_upsert")  # ROWS: foreachBatch sink is engine-internal
+@query(
+    "stream_foreachbatch_upsert",
+    # FULL oracle (r04): the three-batch replay is deterministic and the
+    # merge is associative (per-user count sums), so the final state table
+    # equals the plain batch aggregate — the same equivalence
+    # tests/test_extras2.py asserts, now driver-hash-checked.
+    oracle="""
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming upsert via foreachBatch — the escape hatch for sinks with
     no native streaming writer (JDBC, key-value stores, MERGE targets):

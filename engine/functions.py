@@ -22,6 +22,58 @@ from engine.registry import query
 from engine.tables import load
 
 
+# fn_array_set_ops registers FIRST in this module: its last driver verdict was
+# the r02 canonicalizer crash (fixed in-tree by comma-joining arrays), and the
+# r04 attestation window has exactly 12 slots left after the eight
+# never-attested modules — early registration guarantees re-attestation.
+@query(
+    "fn_array_set_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+           array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ',') AS diff,
+           CAST(list_position(a, 2) AS BIGINT) AS pos2,
+           array_to_string(list_filter(a, x -> x <> 1), ',') AS removed,
+           array_to_string(list_concat(a, b), ',') AS flat,
+           (len(list_filter(a, x -> list_contains(b, x))) > 0) AS overlaps
+    FROM (SELECT l_orderkey, l_linenumber,
+                 range(1, l_linenumber * 2 + 1) AS a,
+                 range(2, l_linenumber * 2 + 3, 2) AS b
+          FROM lineitem WHERE l_orderkey < 3000)
+    """,
+)
+def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface: union/except (sorted for cross-engine
+    stability — Spark preserves appearance order, DuckDB doesn't),
+    position, remove, flatten, overlap test. All JVM higher-order/array
+    expressions over derived sequences; zero shuffle. Array results are
+    comma-joined to strings: the driver's canonicalizer sorts result columns
+    with pandas, which cannot order array cells (scalar-columns-only output
+    convention, same as agg_collect_sorted)."""
+
+    def joined(col: F.Column) -> F.Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sequence(F.lit(1), F.col("l_linenumber") * 2).alias("a"),
+        F.sequence(F.lit(2), F.col("l_linenumber") * 2 + 2, F.lit(2)).alias("b"),
+    )
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        joined(F.array_sort(F.array_union("a", "b"))).alias("u"),
+        joined(F.array_sort(F.array_except("a", "b"))).alias("diff"),
+        F.array_position("a", 2).alias("pos2"),
+        joined(F.array_remove("a", 1)).alias("removed"),
+        joined(F.flatten(F.array("a", "b"))).alias("flat"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
+
+
 @query(
     "fn_string_core",
     oracle="""
@@ -395,54 +447,6 @@ def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.format_string("%s|%05d|%x", "p_name", "p_size", "p_partkey").alias("formatted"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-    )
-
-
-@query(
-    "fn_array_set_ops",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
-           array_to_string(list_sort(list_distinct(
-             list_filter(a, x -> NOT list_contains(b, x)))), ',') AS diff,
-           CAST(list_position(a, 2) AS BIGINT) AS pos2,
-           array_to_string(list_filter(a, x -> x <> 1), ',') AS removed,
-           array_to_string(list_concat(a, b), ',') AS flat,
-           (len(list_filter(a, x -> list_contains(b, x))) > 0) AS overlaps
-    FROM (SELECT l_orderkey, l_linenumber,
-                 range(1, l_linenumber * 2 + 1) AS a,
-                 range(2, l_linenumber * 2 + 3, 2) AS b
-          FROM lineitem WHERE l_orderkey < 3000)
-    """,
-)
-def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set-operation surface: union/except (sorted for cross-engine
-    stability — Spark preserves appearance order, DuckDB doesn't),
-    position, remove, flatten, overlap test. All JVM higher-order/array
-    expressions over derived sequences; zero shuffle. Array results are
-    comma-joined to strings: the driver's canonicalizer sorts result columns
-    with pandas, which cannot order array cells (scalar-columns-only output
-    convention, same as agg_collect_sorted)."""
-
-    def joined(col: F.Column) -> F.Column:
-        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
-
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
-    d = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.sequence(F.lit(1), F.col("l_linenumber") * 2).alias("a"),
-        F.sequence(F.lit(2), F.col("l_linenumber") * 2 + 2, F.lit(2)).alias("b"),
-    )
-    return d.select(
-        "l_orderkey",
-        "l_linenumber",
-        joined(F.array_sort(F.array_union("a", "b"))).alias("u"),
-        joined(F.array_sort(F.array_except("a", "b"))).alias("diff"),
-        F.array_position("a", 2).alias("pos2"),
-        joined(F.array_remove("a", 1)).alias("removed"),
-        joined(F.flatten(F.array("a", "b"))).alias("flat"),
-        F.arrays_overlap("a", "b").alias("overlaps"),
     )
 
 

@@ -76,7 +76,36 @@ def dedup_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # ROWS: LSH banding is not SQL-expressible
+@query(
+    "dedup_near_minhash",
+    # FULL oracle (r04): the LSH banding itself is not SQL-expressible, but
+    # the *output contract* is — exact-verified pairs with Jaccard distance
+    # <= 0.6. DuckDB computes the exact shingle-set Jaccard over all pairs
+    # (O(n²) but fine at oracle scale: 500 docs at sf0.01). The comparison
+    # is only valid because LSH recall is 1.0 on this corpus (unit-tested,
+    # tests/test_llmops.py; near-dups sit at sim >= 0.83, far above the
+    # b=16/r=2 s-curve threshold) — a recall regression now surfaces as a
+    # driver hash mismatch instead of hiding behind a rows-only check.
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
+      FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(1.0 - i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard_dist
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE 1.0 - i / CAST(sa.n + sb.n - i AS DOUBLE) <= 0.6
+    ORDER BY a_id, b_id
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate doc pairs via MinHash-LSH over 5-char shingles,
     natively on DataFrame ops (r02 shape): hash every shingle ONCE
@@ -145,7 +174,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-side hs joins); without a persist the shingle explode + 32-min
     # agg — the expensive part — executes once PER consumer. MEMORY_AND_DISK,
     # sized O(docs x (32 ints + shingle set)): ~80 MB at sf0.1, spills past
-    # memory rather than failing at cluster scale.
+    # memory rather than failing at cluster scale. The cached copy is never
+    # explicitly unpersisted — deliberate: the registry's plan memoization
+    # builds this plan at most once per (session, sf_dir), so the session
+    # holds ≤ one ~80 MB entry per sf_dir (bench + tests: 2), and repeat
+    # invocations REUSE it (that is where the warm-run speedup comes from);
+    # an unpersist-after-materialize would re-run the explode every call.
     from pyspark import StorageLevel
 
     mins = mins.persist(StorageLevel.MEMORY_AND_DISK)

@@ -23,33 +23,35 @@ ORACLES: dict[str, str] = {}
 # Module order drives the driver's capped 50-entry CORRECTNESS window
 # (registration order == check order). Round 1 attested relational+aggs;
 # round 2 attested llmops/textops/simsearch/multimodal/windows/functions
-# (+ stream_tumbling_1h). Round 3 rotates the remaining never-attested
-# families to the front — udfs/trainext/etl/extras/analytics/tpch_more is
-# exactly 50 keys. Round 4 should front pipeops/vecops/extras2/streaming.
+# (+ stream_tumbling_1h); round 3 attested udfs/trainext/etl/extras/
+# analytics/tpch_more (50/50 green). Round 4 fronts every key the driver
+# has never (or last-FAIL) attested: pipeops(10) + vecops(4) + extras2(6)
+# + streaming(7) + curation(4) + sketches(2) + extras3(2) + multimodal(3)
+# = 38, then functions fills the remaining 12 slots — fn_array_set_ops
+# (stale r02 FAIL, fixed in-tree) registers first within functions.
 # The sf0.001 pytest oracle layer still covers the rotated-out families.
 _OPERATOR_MODULES = [
+    "engine.pipeops",
+    "engine.vecops",
+    "engine.extras2",
+    "engine.streaming",
+    "engine.curation",
+    "engine.sketches",
+    "engine.extras3",
+    "engine.multimodal",
+    "engine.functions",
     "engine.udfs",
     "engine.trainext",
     "engine.etl",
     "engine.extras",
     "engine.analytics",
     "engine.tpch_more",
-    "engine.pipeops",
-    "engine.vecops",
-    "engine.extras2",
-    "engine.streaming",
     "engine.relational",
     "engine.aggs",
     "engine.llmops",
     "engine.textops",
     "engine.simsearch",
-    "engine.multimodal",
     "engine.windows",
-    "engine.functions",
-    # r03 additions stay BELOW the 50-key attestation window on purpose.
-    "engine.curation",
-    "engine.sketches",
-    "engine.extras3",
 ]
 
 
@@ -77,6 +79,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        # Unmemoized original, for callers that need a genuinely fresh
+        # plan build + execution per invocation (bench.py's n-run sweep
+        # medians — the memoized wrapper would make run 2+ of a one-shot
+        # streaming key just re-count its memory sink).
+        wrapped.__wrapped__ = fn
         if name in QUERIES:
             raise ValueError(f"duplicate operator key: {name}")
         QUERIES[name] = wrapped
@@ -87,7 +94,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Keys fronted in collect()'s returned dict — the driver's capped 50-entry
+# CORRECTNESS window checks keys in dict order, so this list pins exactly
+# which keys get attested regardless of module/registration order. r04: the
+# 34 keys never in any driver window + 2 whose last verdict is the r02
+# canonicalizer FAIL (fn_array_set_ops, multimodal_decode_pipeline, both
+# fixed in-tree) + the 4 ex-ROWS keys promoted to FULL oracles this round
+# (agg_approx_distinct, agg_approx_median, dedup_near_minhash, sim_ann_ivf)
+# = 40; the remaining 10 window slots fall to registration order.
+_ATTEST_FIRST = [
+    # pipeops (never windowed)
+    "data_split_stratified",
+    "text_containment",
+    "etl_dq_profile",
+    "scan_text_lines",
+    "etl_incremental_watermark",
+    "text_repetition_ratio",
+    "doc_length_histogram",
+    "sample_balanced_lang",
+    "emb_centroid_by_label",
+    "text_vocab_coverage",
+    # vecops (never windowed)
+    "emb_scalar_quantize",
+    "etl_funnel_stages",
+    "sim_ann_rp_lsh",
+    "emb_pca_project",
+    # extras2 (never windowed)
+    "agg_heavy_hitters",
+    "etl_snapshot_diff",
+    "join_asof_nearest",
+    "text_keyword_topterm",
+    "stream_foreachbatch_upsert",
+    "scan_binary_files",
+    # streaming (never windowed except tumbling)
+    "stream_sliding_1h_15m",
+    "stream_session_30m",
+    "stream_watermark_dedup",
+    "stream_late_data",
+    "stream_stateful_counter",
+    "stream_stream_join",
+    # curation (never windowed)
+    "text_decontaminate",
+    "text_pack_sequences",
+    "sample_source_mix",
+    "stream_static_enrich",
+    # sketches (never windowed)
+    "agg_hll_sketch_merge",
+    "agg_approx_top_k",
+    # extras3 (never windowed)
+    "fn_variant_shred",
+    "scan_python_datasource",
+    # stale r02 FAILs, fixed in-tree
+    "fn_array_set_ops",
+    "multimodal_decode_pipeline",
+    # ex-ROWS keys promoted to FULL oracles in r04
+    "agg_approx_distinct",
+    "agg_approx_median",
+    "dedup_near_minhash",
+    "sim_ann_ivf",
+]
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    return QUERIES, ORACLES
+    missing = [k for k in _ATTEST_FIRST if k not in QUERIES]
+    if missing:
+        raise KeyError(f"_ATTEST_FIRST names unregistered keys: {missing}")
+    q = {k: QUERIES[k] for k in _ATTEST_FIRST}
+    q.update(QUERIES)
+    o = {k: ORACLES[k] for k in _ATTEST_FIRST if k in ORACLES}
+    o.update(ORACLES)
+    return q, o

@@ -98,7 +98,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf")  # ROWS: centroid assignment is not SQL-expressible
+@query(
+    "sim_ann_ivf",
+    # FULL oracle (r04): centroid assignment is not SQL-expressible, but the
+    # exact top-10 pair list is — and on this corpus the IVF path achieves
+    # recall 1.0 deterministically (fixed centroid choice, fixed data;
+    # verified at sf0.001 and sf0.01, recall floor separately unit-tested in
+    # tests/test_simsearch.py). Comparing ANN output against the exact
+    # answer turns any recall regression into a driver hash mismatch.
+    oracle="""
+    SELECT a_id, b_id, sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) ORDER BY sim DESC, a_id, b_id LIMIT 10
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 similar pairs via IVF: 8 deterministic coarse
     centroids (the 8 lowest-vec_id vectors), each vector assigned to its

@@ -23,20 +23,38 @@ from engine.tables import load, sftag
 _TMP = tempfile.gettempdir()
 
 
-@query("agg_hll_sketch_merge")  # ROWS: DuckDB has no Datasketches-HLL twin
+@query(
+    "agg_hll_sketch_merge",
+    # FULL oracle (r04): DuckDB has no Datasketches-HLL twin, so the sketch
+    # ESTIMATE can never hash-match — instead the Spark side emits the exact
+    # distinct count plus a verified tolerance flag (|est−exact| ≤ 5%·exact
+    # + 1; the sketch union is order-blind and deterministic, so the flag is
+    # stable), and the oracle asserts TRUE with the exact counts. A merge or
+    # estimate regression flips the flag and fails the driver hash check.
+    oracle="""
+    SELECT r_name, exact_customers, TRUE AS est_ok FROM (
+      SELECT r_name, count(DISTINCT c_custkey) AS exact_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT c_custkey) FROM customer
+    ) ORDER BY r_name
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental distinct-customer counting with HLL sketches, proven
     through a persisted round-trip: (1) build one HLL sketch of c_custkey
     PER NATION and write the 25 sketch binaries to parquet — the stored
     per-shard state of an incremental pipeline; (2) read them back, join the
     broadcast nation dim, and ``hll_union_agg`` up to region level;
-    (3) estimate. Output: (r_name, est_customers) + a global ALL row from
-    merging the same stored sketches — no second scan of the base table.
-
-    Estimate error at the default lgK=12 is ~1.6% (unit-tested ≤5% vs exact
-    in tests/test_sketches.py). The sketch column is binary and the estimate
-    is a deterministic function of the input SET (union is order-blind), so
-    the rows-only driver check is stable.
+    (3) estimate; (4) self-validate each estimate against the exact distinct
+    count (≤5% + 1; measured error at the default lgK=12 is ~1.6%, also
+    unit-tested in tests/test_sketches.py). Output: (r_name,
+    exact_customers, est_ok) + a global ALL row from merging the same
+    stored sketches. The exact side exists only to validate; production use
+    drops it (that is the point of the sketch).
 
     100 TB: this is THE pattern for daily-active/distinct-id metrics —
     per-partition sketches persist once per batch; any grouping rollup
@@ -67,7 +85,30 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("r_name"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_customers"),
     )
-    return per_region.unionByName(overall).orderBy("r_name")
+    est = per_region.unionByName(overall)
+    cn = c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    exact = cn.groupBy("r_name").agg(
+        F.count_distinct("c_custkey").alias("exact_customers")
+    ).unionByName(
+        c.agg(
+            F.lit("ALL").alias("r_name"),
+            F.count_distinct("c_custkey").alias("exact_customers"),
+        )
+    )
+    return (
+        est.join(exact, "r_name")
+        .select(
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("est_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers") + F.lit(1)
+            ).alias("est_ok"),
+        )
+        .orderBy("r_name")
+    )
 
 
 @query(

@@ -144,10 +144,16 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> tuple[T.StructType, 
     conversion. The corpus's ts physical type has varied across generations
     (int64 nanos vs native timestamp[us]); probe the batch reader's
     footer-derived dtype once so the streaming source matches either."""
-    ts_is_long = (
-        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-        == "bigint"
-    )
+    ts_dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    # Match KNOWN corpus variants only: a third variant (e.g. UTC-adjusted
+    # timestamp[us], batch dtype 'timestamp') must fail loudly here rather
+    # than let a pinned NTZ readStream schema silently shift event time.
+    if ts_dtype not in ("bigint", "timestamp_ntz"):
+        raise ValueError(
+            f"events.ts has unexpected dtype {ts_dtype!r}; extend "
+            "_events_raw_schema deliberately for this corpus variant"
+        )
+    ts_is_long = ts_dtype == "bigint"
     ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
     schema = T.StructType(
         [
@@ -226,7 +232,18 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return _run_stream(stream_df, name, "append")
 
 
-@query("stream_watermark_dedup")  # ROWS: watermark semantics are engine-internal
+@query(
+    "stream_watermark_dedup",
+    # FULL oracle (r04): the corpus is one parquet file ⇒ one AvailableNow
+    # micro-batch ⇒ no cross-batch watermark eviction, and event_id is
+    # unique in the corpus ⇒ streaming dedup must emit every event exactly
+    # once — which IS SQL-expressible. The multi-batch late-duplicate path
+    # (where watermark timing matters) stays covered by
+    # tests/test_streaming.py's injected-duplicates case.
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup of event_id under a 1-hour watermark.
 
@@ -245,7 +262,24 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
-@query("stream_late_data")  # ROWS: watermark drop timing is engine-internal
+@query(
+    "stream_late_data",
+    # FULL oracle (r04): the three-file replay is deterministic, so the
+    # emitted window set is too — append mode finalizes exactly the hourly
+    # windows whose end precedes the active watermark (global max ts − 1h,
+    # established by batch 2 and applied in batch 3), and the late Jan-1
+    # re-delivery contributes nothing. Both the Jan-2 cutoff and the
+    # tail-window cutoff are SQL-expressible; boundary semantics
+    # (window_end <= watermark) verified at sf0.001 and sf0.01.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, count(*) AS cnt
+    FROM events WHERE ts >= TIMESTAMP '2024-01-02'
+    GROUP BY 1
+    HAVING window_start + INTERVAL '1 hour'
+           <= (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+    ORDER BY window_start
+    """,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-file replay proving watermark late-data drops (VERDICT r01 item 7
     promoted this from unit-test-only to a queries() ROWS key).
@@ -323,7 +357,18 @@ def _count_events(key, pdf_iter, state):
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
 
-@query("stream_stateful_counter")  # ROWS: arbitrary state is not SQL-expressible
+@query(
+    "stream_stateful_counter",
+    # FULL oracle (r04): arbitrary state itself is not SQL-expressible, but
+    # with the one-file corpus the AvailableNow run is a single micro-batch,
+    # so update mode emits exactly one row per user carrying the final
+    # count — which is the plain batch groupBy. The multi-batch incremental
+    # path stays covered by tests/test_streaming.py's batch cross-check.
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key streaming state: running per-user event counter via
     ``applyInPandasWithState`` (GroupState keyed by user_id, Arrow-batched).

