@@ -1,0 +1,538 @@
+"""Round-4 surface extensions: probabilistic-structure joins/aggregates and
+training-data utilities (SURVEY §2.D/I/K extensions; the reference at
+/root/reference is an empty directory — SURVEY §2 is the operative spec).
+
+Families:
+- ``join_bloom_prune``: a Bloom filter built with plain DataFrame bit ops
+  (no private API) pruning a fact-side scan before the exact join — the
+  hand-rolled version of the runtime-filter pushdown a warehouse engine
+  does for selective dim joins.
+- ``agg_cms_estimate``: Count-Min Sketch restated as DataFrame ops — d
+  hashed groupBy counts + a min-merge — the mergeable heavy-hitter
+  frequency sketch, self-validated against exact counts.
+- ``text_perplexity_ngram``, ``text_zipf_fit``: corpus statistics for
+  training-data quality — an add-one-smoothed bigram LM scoring per-doc
+  average log-prob, and a Zipf rank-frequency power-law fit via native
+  regression aggregates.
+- ``sample_reservoir_group``: deterministic per-group k-sampling by md5
+  hash rank — reproducible across engines AND mergeable (per-partition
+  top-k then merge), unlike random()-ordered sampling.
+- ``fn_url_parse``: URL component extraction (host/path/query param).
+- ``agg_quantile_bins``: decile binning via ntile + per-bin stats.
+- ``emb_matryoshka_truncate``: matryoshka-style embedding truncation
+  energy — how much cosine mass the first k dims retain.
+
+All eight are JVM-side DataFrame plans (zero Python UDFs) with FULL DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+# ---------------------------------------------------------------------------
+# probabilistic structures as DataFrame ops
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 256  # 2^14 bits; n≈300 build keys, k=5 → FP ≈ 5e-6
+_BLOOM_K = 5
+
+
+@query(
+    "join_bloom_prune",
+    oracle="""
+    SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning built from first principles: hash the
+    EUROPE customer keys k=5 ways (xxhash64 with per-hash seeds) into a
+    2^14-bit filter assembled as ONE array<long> row via bit_or aggregation,
+    broadcast it, and drop orders whose o_custkey misses any bit BEFORE the
+    exact join. The Bloom pass has no false negatives, and the exact join
+    removes the (≈5e-6 rate) false positives — so the result equals the
+    plain join, which IS the oracle. tests/test_datapipe.py asserts the
+    prune actually rejects rows.
+
+    100 TB: this is the semi-join-reduction pattern for selective dim⋈fact
+    joins — ship a KB-size filter instead of shuffling the fact table; at
+    cluster scale Spark's own runtime row-group filters do the same, but
+    only for plans it recognizes. Build side is one small agg; probe side
+    is a scan-local filter (no shuffle added); the filter array is
+    mergeable via bit_or, so per-partition partial filters union for free."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey", "n_name")
+    )
+
+    m_bits = _BLOOM_WORDS * 64
+
+    def positions(key: str) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    # Build: explode bit positions → per-word bit_or → one ordered
+    # array<long> row (missing words 0-filled via the range outer join).
+    bits = dim.select(F.explode(positions("c_custkey")).alias("pos")).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
+    )
+    # shiftleft() the function requires a literal bit count; the SQL form
+    # accepts a column.
+    words = bits.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(1L, bit)")).alias("w")
+    )
+    bloom = (
+        spark.range(_BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce("w", F.lit(0).cast("long")).alias("w"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "w"))), lambda s: s["w"]
+            ).alias("bloom")
+        )
+    )
+
+    probe = orders.crossJoin(F.broadcast(bloom))
+    test = None
+    for i in range(_BLOOM_K):
+        cond = F.expr(
+            f"(element_at(bloom, cast(pmod(xxhash64(o_custkey, {i}), {m_bits}) / 64"
+            f" as int) + 1) & shiftleft(1L, cast(pmod(pmod(xxhash64(o_custkey, {i}),"
+            f" {m_bits}), 64) as int))) != 0"
+        )
+        test = cond if test is None else (test & cond)
+    pruned = probe.filter(test).drop("bloom")
+
+    return (
+        pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_CMS_W = 1024
+_CMS_D = 4
+
+
+@query(
+    "agg_cms_estimate",
+    # Self-validating FULL: sketch estimates are over-counts by construction
+    # (ge_ok) and within d-row min-collision bound of exact on this corpus
+    # (bound_ok, margin 3·N/w per row); both flags are deterministic. The
+    # oracle asserts the flags with the exact top-20 counts.
+    oracle="""
+    SELECT o_custkey, cnt AS exact_cnt, TRUE AS ge_ok, TRUE AS bound_ok
+    FROM (
+      SELECT o_custkey, count(*) AS cnt
+      FROM orders GROUP BY o_custkey
+      ORDER BY cnt DESC, o_custkey LIMIT 20
+    ) ORDER BY exact_cnt DESC, o_custkey
+    """,
+)
+def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch as DataFrame ops: d=4 independent hash rows, each a
+    w=1024-bucket groupBy COUNT of the hashed key; a key's estimate is the
+    MIN of its d bucket counts. Queried here for the exact top-20 customers
+    by order count, emitting (exact count, est≥exact flag, est≤exact+3·N/w
+    flag). The sketch IS four hash-bucketed count aggregates — mergeable
+    across batches by summing buckets — restated declaratively, no private
+    sketch API.
+
+    100 TB: the CMS bucket table is d·w counters regardless of key
+    cardinality — the frequency-estimate complement to the HLL key
+    (agg_hll_sketch_merge, cardinality) and approx_top_k (heavy hitters);
+    partial aggregation combines map-side and the bucket table broadcasts
+    for probe-side estimation."""
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_custkey",
+        *[
+            F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(d)), F.lit(_CMS_W))
+            .cast("int")
+            .alias(f"h{d}")
+            for d in range(_CMS_D)
+        ],
+    )
+    # d bucket tables in ONE pass: unpivot the d hash columns, then a single
+    # (row, bucket) groupBy — not d separate aggregations over the fact.
+    buckets = (
+        hashed.unpivot("o_custkey", [f"h{d}" for d in range(_CMS_D)], "row", "bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact_top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "o_custkey")
+        .limit(20)
+    )
+    n_total = orders.count()
+    bound = 3.0 * n_total / _CMS_W
+    probes = exact_top.select(
+        "o_custkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"h{d}").alias("row"),
+                        F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(d)), F.lit(_CMS_W))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("o_custkey", "exact_cnt", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(buckets), ["row", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "o_custkey",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("ge_ok"),
+        (F.col("est") <= F.col("exact_cnt") + F.lit(bound)).alias("bound_ok"),
+    ).orderBy(F.col("exact_cnt").desc(), "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics for training-data quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_perplexity_ngram",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT token) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+    scored AS (
+      SELECT b.doc_id,
+             ln((cb.c2 + 1.0) / (cu.c1 + v.vocab)) AS lp
+      FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+      JOIN cu ON b.w1 = cu.w1 CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-smoothed
+    corpus LM: P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V). The classic cheap fluency
+    score for training-data filtering — word-soup or repeated-template docs
+    separate from natural ones by this number alone. All JVM: bigrams via
+    transform+explode, counts via two groupBys, scoring via two equi-joins
+    on token keys. round(,4) ON THE AGGREGATE only (ln is libm-backed,
+    SURVEY §5.3).
+
+    100 TB: the bigram count table is the only state (vocab², sparse —
+    shuffle-partitioned by w1); scoring is fact⋈count joins that hash on
+    the same key, and the doc-level agg is a partial+final on doc_id. To
+    cap the model table at scale, frequency-floor the counts (C≥2) or
+    hash-bucket the vocab — both order-preserving on this score."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab"))
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT token, count(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r FROM freq
+    ),
+    top AS (SELECT ln(r::DOUBLE) AS lr, ln(f::DOUBLE) AS lf FROM ranked WHERE r <= 100)
+    SELECT count(*) AS n_terms,
+           round(regr_slope(lf, lr), 4) AS zipf_slope,
+           round(regr_intercept(lf, lr), 4) AS zipf_intercept,
+           round(regr_r2(lf, lr), 4) AS fit_r2
+    FROM top
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS of ln(freq)
+    on ln(rank) over the top-100 tokens, via the NATIVE regression
+    aggregates (regr_slope/intercept/r2 — no collect, no numpy). Natural
+    corpora fit slope ≈ −1; synthetic word-soup (this corpus) flattens —
+    making the slope a one-number distribution-shift detector between
+    training-data batches.
+
+    100 TB: token frequency is one groupBy; ranking the top-100 is a
+    WindowGroupLimit-style top-k (bounded state), and the regression is a
+    6-number partial+final aggregate. Nothing O(vocab) leaves the
+    executors."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("token")))
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    top = ranked.select(
+        F.log(F.col("r").cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"),
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 4).alias("fit_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling / binning / URL / embedding utilities
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_reservoir_group",
+    oracle="""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10 ORDER BY source, rk
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k=10 per-source document sample by md5-hash rank — the
+    reproducible substitute for ORDER BY random(): the hash of the id is a
+    fixed pseudo-random key, so the same corpus always yields the same
+    sample, across engines and across reruns (md5 hex agrees between Spark
+    and DuckDB, unlike xxhash64 which DuckDB lacks).
+
+    100 TB: hash-rank sampling is mergeable — each partition keeps its own
+    top-k by hash, then top-k of the union — so it runs as one
+    WindowGroupLimit-optimized window, state O(k) per group, no global
+    sort and no RNG-state coordination across executors. Compare
+    sample_hash_repro (Bernoulli by hash) — this one is exact-k."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+    FROM (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with the native parse_url expression (HOST /
+    PATH / QUERY:key) over URLs derived from corpus columns — the dedup-by-
+    canonical-URL and domain-mix-analysis primitive of web-scale corpus
+    curation. The oracle re-derives the same components with regexes
+    (DuckDB has no parse_url), pinning Spark's parser to the RFC behavior
+    for this URL shape.
+
+    100 TB: parse_url is a codegen'd JVM expression — per-row string work
+    with zero shuffle; domain-level rollups then hash on the extracted
+    host."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "agg_quantile_bins",
+    oracle="""
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS mean_price
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ) GROUP BY decile ORDER BY decile
+    """,
+)
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order values (equal-count bins via ntile with a
+    deterministic o_orderkey tie-break) + per-bin count/min/max/mean — the
+    quantile-bucket profile used for stratified splits and outlier fences.
+
+    100 TB: ntile over a global ORDER BY is a single total sort — the
+    honest cost of exact equal-count bins. At scale, swap in
+    approx-percentile cut points (agg_approx_median's sketch) + width_bucket
+    against the broadcast cut array: same output shape, no total sort;
+    the exact form here doubles as that path's correctness reference."""
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "emb_matryoshka_truncate",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e16, e16)), 4) AS energy_16,
+           round(sqrt(list_dot_product(e32, e32)), 4) AS energy_32
+    FROM (
+      SELECT vec_id,
+             (embedding::DOUBLE[])[1:16] AS e16,
+             (embedding::DOUBLE[])[1:32] AS e32
+      FROM embeddings
+    ) ORDER BY vec_id
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: the L2 energy retained by the
+    first 16 and 32 of 64 embedding dims. Because the corpus vectors are
+    L2-normalized, energy_k EQUALS the cosine between the full vector and
+    its renormalized k-dim prefix — the number that decides how far you can
+    truncate stored vectors before ANN recall degrades (a 4× storage/
+    bandwidth lever at 100 TB). Pure JVM higher-order aggregate over
+    slice(); per-row sqrt is IEEE-identical across engines, rounding only
+    for float display stability (both sides round identically-valued
+    doubles).
+
+    100 TB: zero shuffle — a map-only projection; pairs with
+    emb_scalar_quantize (int8 quantization) as the two storage-reduction
+    probes."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def energy(k: int) -> F.Column:
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.slice("embedding", 1, k),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        )
+
+    return emb.select(
+        "vec_id",
+        energy(16).alias("energy_16"),
+        energy(32).alias("energy_32"),
+    ).orderBy("vec_id")

@@ -52,6 +52,10 @@ _OPERATOR_MODULES = [
     "engine.textops",
     "engine.simsearch",
     "engine.windows",
+    # r04 additions register BELOW the 50-key attestation window on purpose
+    # (window is full this round); the sf0.001 pytest oracle covers them
+    # until the r05 rotation fronts them.
+    "engine.datapipe",
 ]
 
 
