@@ -210,6 +210,32 @@ def test_pack_sequences_single_window_no_global_sort(spark):
     assert m and "source" in m.group(1), plan
 
 
+def test_bloom_prune_filter_on_probe_side(spark):
+    # r04: the Bloom bit test (shiftleft + element_at on the broadcast
+    # array) must sit in a FILTER on the probe scan, joined to the one-row
+    # bloom via BroadcastNestedLoopJoin — never a shuffle of unpruned
+    # orders. The exact dim join afterwards broadcasts.
+    plan = _plan(spark, "join_bloom_prune")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "shiftleft" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_buckets_built_in_one_pass(spark):
+    # r04: the d=4 CMS bucket tables must come from ONE unpivot (Expand) +
+    # one (row, bucket) aggregate — not d separate scans of the fact table.
+    plan = _plan(spark, "agg_cms_estimate")
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan  # fact + exact-top branch
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    # r04: rank<=k per group must run as WindowGroupLimit (bounded state
+    # top-k per partition), not a full per-group sort + post-filter.
+    plan = _plan(spark, "sample_reservoir_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_rp_lsh_signatures_computed_once(spark):
     # r03: the signature MapInPandas must run once — the band self-join's
     # second side reads a ReusedExchange, and no embedding payload crosses
