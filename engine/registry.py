@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     # (window is full this round); the sf0.001 pytest oracle covers them
     # until the r05 rotation fronts them.
     "engine.datapipe",
+    "engine.scaleops",
 ]
 
 

@@ -1,0 +1,415 @@
+"""Round-4 batch 17: the scale-path variants the earlier keys document but
+don't execute, plus sequence/window analytics (SURVEY §2 extensions; the
+reference at /root/reference is an empty directory — SURVEY §2 is the
+operative spec).
+
+- ``join_range_binned``: the bucketed band-join rewrite that
+  ``join_theta_range``'s docstring prescribes for 100 TB — executed, not
+  just documented: O(n+m) equi-join on bucket ids + residual predicate,
+  replacing the BroadcastNestedLoopJoin's O(n·m) compare space.
+- ``agg_sketch_intersection``: HLL inclusion-exclusion — |A∩B| from three
+  mergeable sketches, never materializing the intersection; self-validated
+  against the exact count.
+- ``win_pattern_match``: MATCH_RECOGNIZE-style funnel detection as an
+  ordered per-key sequence string + regex — the sequence-analytics shape
+  Spark lacks a native operator for.
+- ``agg_weighted_percentile``: weighted median via cumulative-weight
+  window — the estimator exact/approx percentile keys can't express.
+- ``emb_binary_quantize``: 1-bit embedding quantization into two int64
+  words + Hamming distance — the 32× storage lever below int8.
+- ``etl_compact_small_files``: the small-files compaction job every
+  long-running ingest needs; content-identity is the oracle.
+- ``win_gaps_islands``: gaps-and-islands consecutive-activity streaks via
+  the row_number-offset grouping trick.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load, sftag
+
+_TMP = tempfile.gettempdir()
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join executed as a bucketed EQUI-join: bucket both acctbal
+    domains at the band width (10), explode each supplier row to its 3
+    candidate buckets (floor((s±10)/10) spans at most b−1..b+1), hash-join
+    on bucket id, then apply the exact BETWEEN as a residual filter. Same
+    result set as join_theta_range's BroadcastNestedLoopJoin, but the
+    compare space is O(rows × 3) instead of O(n·m) — this IS the 100 TB
+    rewrite that key's docstring prescribes; both sides hash-partition on
+    the bucket id so neither needs to broadcast.
+
+    100 TB: bucket width == band width bounds the fan-out at 3 regardless
+    of data; skewed buckets (acctbal heaping) salt like any equi-join key.
+    The residual keeps correctness exact — binning only prunes."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    band = 10
+    sb = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("s_acctbal") / band) + d).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    ).dropDuplicates(["s_suppkey", "bucket"])
+    cb = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / band).cast("long").alias("bucket"),
+    )
+    return (
+        sb.join(cb, "bucket")
+        .filter(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - band, F.col("s_acctbal") + band
+            )
+        )
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )
+
+
+@query(
+    "agg_sketch_intersection",
+    # Self-validating FULL: the HLL inclusion-exclusion estimate is a
+    # deterministic function of the two key sets; the oracle asserts the
+    # exact set sizes plus the verified tolerance flag.
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+    SELECT (SELECT count(*) FROM a) AS exact_a,
+           (SELECT count(*) FROM b) AS exact_b,
+           (SELECT count(*) FROM a WHERE o_custkey IN (SELECT o_custkey FROM b)) AS exact_inter,
+           TRUE AS inter_ok
+    """,
+)
+def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality WITHOUT materializing the intersection:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) over three mergeable HLL sketches
+    (customers active before/after 1997). Inclusion-exclusion compounds the
+    per-sketch error, so the self-check tolerance is 10% + 5 absolute —
+    measured error here is far inside it; the flag is deterministic.
+
+    100 TB: the reason to do this with sketches — A and B can live in
+    different tables/days/regions; each side keeps a KB-size sketch and
+    ANY pairwise overlap question (retention, audience intersection,
+    contamination across shards) is sketch arithmetic, never a re-scan or
+    a distinct-join. The exact sides here exist only to validate."""
+    o = load(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+    a = o.filter(F.col("o_orderdate") < cut)
+    b = o.filter(F.col("o_orderdate") >= cut)
+    sk = (
+        a.agg(F.expr("hll_sketch_agg(o_custkey)").alias("ska"))
+        .crossJoin(b.agg(F.expr("hll_sketch_agg(o_custkey)").alias("skb")))
+        .select(
+            F.expr("hll_sketch_estimate(ska)").alias("est_a"),
+            F.expr("hll_sketch_estimate(skb)").alias("est_b"),
+            F.expr("hll_sketch_estimate(hll_union(ska, skb))").alias("est_u"),
+        )
+        .select((F.col("est_a") + F.col("est_b") - F.col("est_u")).alias("est_inter"))
+    )
+    exact = (
+        a.select("o_custkey")
+        .distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+        .crossJoin(a.agg(F.count_distinct("o_custkey").alias("exact_a")))
+        .crossJoin(b.agg(F.count_distinct("o_custkey").alias("exact_b")))
+    )
+    return exact.crossJoin(sk).select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            <= 0.10 * F.col("exact_inter") + F.lit(5.0)
+        ).alias("inter_ok"),
+    )
+
+
+@query(
+    "win_pattern_match",
+    oracle="""
+    SELECT user_id, length(seq) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS funnel_matched
+    FROM (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ) ORDER BY user_id
+    """,
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (Spark has no native
+    operator): per user, fold the time-ordered event stream into a
+    one-letter-per-event string (view/click/purchase/signup/error have
+    distinct initials) and regex-match the funnel pattern v.*c.*p — did a
+    view EVER lead through a click to a purchase, in order. Ordering is
+    pinned by (ts, event_id) inside array_sort on structs, the ordered-agg
+    technique from agg_string_agg_ordered.
+
+    100 TB: one shuffle on user_id; per-user state is the event-initial
+    string (bytes per event, not rows). For unbounded users×events, cap the
+    sequence with slice() before the regex — the funnel verdict is
+    monotone under truncation from the match side. Compare
+    etl_funnel_stages (min-ts join cascade): same question, aggregate
+    answer; this shape answers ARBITRARY regex patterns (retries,
+    error-recovery loops, A-before-B-without-C) without new joins."""
+    e = load(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.col("seq").rlike("v.*c.*p").alias("funnel_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS weighted_median,
+           round(min(tw), 1) AS total_weight
+    FROM w WHERE cw >= 0.5 * tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest price at which the running quantity
+    weight crosses half the group total — cumulative-weight window with a
+    deterministic (price, orderkey, linenumber) order, then min() over the
+    crossing rows. Neither percentile() nor percentile_approx() takes
+    weights; this window shape is the standard rewrite.
+
+    100 TB: one shuffle on the group key; the cumulative window sorts
+    within partitions only. For heavy groups, pre-bin prices (quantize to
+    cents) and cumsum the per-bin weights — turns the per-row window into
+    a bounded per-bin one at the cost of bin-width resolution."""
+    li = load(spark, sf_dir, "lineitem")
+    wspec = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wspec.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("l_quantity").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        w.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.min("tw"), 1).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "emb_binary_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[CAST(i AS INT)] > 0
+                           THEN (2.0 ^ (CAST(i AS INT) - 1))::BIGINT ELSE 0 END) AS BIGINT) AS bits_lo,
+             CAST(sum(CASE WHEN embedding[CAST(i AS INT) + 32] > 0
+                           THEN (2.0 ^ (CAST(i AS INT) - 1))::BIGINT ELSE 0 END) AS BIGINT) AS bits_hi
+      FROM embeddings, UNNEST(range(1, 33)) AS t(i)
+      GROUP BY vec_id
+    ),
+    ref AS (SELECT bits_lo AS rlo, bits_hi AS rhi FROM q ORDER BY vec_id LIMIT 1)
+    SELECT vec_id, bits_lo, bits_hi,
+           CAST(bit_count(xor(bits_lo, rlo)) + bit_count(xor(bits_hi, rhi)) AS INT) AS hamming_ref
+    FROM q CROSS JOIN ref ORDER BY vec_id
+    """,
+)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding quantization: each 64-dim float vector becomes two
+    int64 sign-bit words (dims 1-32 → bits_lo, 33-64 → bits_hi; two words
+    sidestep the bit-63 sign ambiguity across engines), plus the Hamming
+    distance to the lowest-id reference vector via XOR + bit_count. 32×
+    smaller than float32 and Hamming ≈ angular distance on normalized
+    vectors — the candidate-generation representation below int8
+    (emb_scalar_quantize) and the matryoshka prefix (emb_matryoshka_truncate).
+
+    100 TB: quantization is a map-only higher-order aggregate (no shuffle);
+    Hamming re-ranking is two codegen'd ALU ops per comparison, so a
+    billion-vector scan becomes memory-bandwidth-bound rather than
+    FLOP-bound."""
+    emb = load(spark, sf_dir, "embeddings")
+    word = (
+        "CAST(aggregate(sequence(1, 32), 0L, (a, i) -> a + IF("
+        "element_at(embedding, CAST(i + {off} AS INT)) > 0,"
+        " shiftleft(1L, CAST(i AS INT) - 1), 0L)) AS BIGINT)"
+    )
+    q = emb.select(
+        "vec_id",
+        F.expr(word.format(off=0)).alias("bits_lo"),
+        F.expr(word.format(off=32)).alias("bits_hi"),
+    )
+    ref = (
+        q.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("bits_lo").alias("rlo"), F.col("bits_hi").alias("rhi"))
+    )
+    return (
+        q.crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            "bits_lo",
+            "bits_hi",
+            (
+                F.bit_count(F.expr("bits_lo ^ rlo")) + F.bit_count(F.expr("bits_hi ^ rhi"))
+            ).cast("int").alias("hamming_ref"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the maintenance job every long-running
+    ingest needs: a fragmented copy of orders (32 shards, the shape a
+    per-trigger streaming sink leaves behind) is rewritten as 4 range-
+    clustered files (repartitionByRange on the date key, so each output
+    file covers a contiguous date span and later date-filtered scans prune
+    whole files via min/max). The oracle checks CONTENT identity against
+    the original table — compaction must be a pure layout change; the
+    32→4 file-count drop is asserted in tests/test_scaleops.py.
+
+    100 TB: compaction cost is one read + one range shuffle + one write of
+    the touched partition only — never the table; target file size
+    (128-1024 MB) trades open() overhead against scan parallelism, and
+    range clustering doubles as the sort-order contract for
+    sink_sorted_clustered-style pruning."""
+    frag_dir = f"{_TMP}/sg_compact_frag_{sftag(sf_dir)}"
+    comp_dir = f"{_TMP}/sg_compact_out_{sftag(sf_dir)}"
+    o = load(spark, sf_dir, "orders")
+    o.repartition(32).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.repartitionByRange(4, "o_orderdate").write.mode("overwrite").parquet(comp_dir)
+    compacted = spark.read.parquet(comp_dir)
+    return (
+        compacted.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("mo")
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH hrs AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, hr,
+             hr - CAST(row_number() OVER (PARTITION BY user_id ORDER BY hr) AS BIGINT)
+                  * INTERVAL '1 hour' AS grp
+      FROM hrs
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak_hours,
+           CAST(sum(len) AS BIGINT) AS active_hours
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active HOURS per user,
+    via the classic row_number-offset trick — consecutive hours share
+    (hour − rn·1h), so islands fall out of one groupBy on that derived key.
+    No native Spark operator expresses 'consecutive runs'; this rewrite
+    stays in two hash aggregations + one window.
+
+    100 TB: everything partitions on user_id (one shuffle, reused by the
+    window and both aggregations); per-user state is the distinct-hour
+    list, bounded by the time horizon, not the event count. Compare
+    stream_session_30m (gap-based sessions on raw ts) — islands quantize
+    to the bucket grid first, which is what makes the offset arithmetic
+    exact."""
+    e = load(spark, sf_dir, "events")
+    hrs = e.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    isl = hrs.select(
+        "user_id",
+        "hr",
+        (
+            F.col("hr").cast("long")
+            - F.row_number().over(w).cast("long") * 3600
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak_hours"),
+            F.sum("len").alias("active_hours"),
+        )
+        .orderBy("user_id")
+    )
