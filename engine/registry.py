@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     # until the r05 rotation fronts them.
     "engine.datapipe",
     "engine.scaleops",
+    "engine.sql4",
 ]
 
 
