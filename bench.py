@@ -72,9 +72,12 @@ def main() -> int:
             df.collect()
     times: dict[str, float] = {}
     for name, df in plans.items():
-        # Best-of-3: absorbs Python-worker cold starts + host contention.
+        # Best-of-5: absorbs Python-worker cold starts + host contention
+        # (r04: back-to-back runs of identical code showed ±30% headline
+        # jitter with best-of-3; five runs of sub-second queries cost ~2 s
+        # and pin the floor).
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.collect()
             best = min(best, time.perf_counter() - t0)
