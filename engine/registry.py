@@ -58,6 +58,8 @@ _OPERATOR_MODULES = [
     "engine.datapipe",
     "engine.scaleops",
     "engine.sql4",
+    "engine.timeseries",
+    "engine.extras4",
 ]
 
 
@@ -158,6 +160,20 @@ _ATTEST_FIRST = [
     "agg_approx_median",
     "dedup_near_minhash",
     "sim_ann_ivf",
+    # 10 of the 20 r04-new keys fill the window's remaining slots (the
+    # alternative was re-attesting r02-green textops keys — zero new
+    # information). The other 10 r04 keys are r05's rotation, along with
+    # these if any fail.
+    "sql_recursive_cte_chain",
+    "sql_pipe_syntax",
+    "fn_collation_group",
+    "udtf_arrow_expand",
+    "plan_observe_metrics",
+    "join_bloom_prune",
+    "agg_cms_estimate",
+    "join_range_binned",
+    "agg_sketch_intersection",
+    "win_pattern_match",
 ]
 
 
