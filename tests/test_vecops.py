@@ -38,15 +38,15 @@ def test_pca_contracts(spark):
     (c) reproduce numpy's reference PCA on the same vectors up to the
     fixed-sign convention."""
     from engine.tables import load
-    from engine.vecops import emb_pca_project
+    from engine.vecops import pca_project_vectors
 
     pc_cols = ["pc1", "pc2", "pc3", "pc4"]
-    out = emb_pca_project(spark, SF_DIR).toPandas()
+    out = pca_project_vectors(spark, SF_DIR).toPandas()
     proj = out[pc_cols].to_numpy()
     assert proj.shape[1] == 4
 
     # (a) deterministic re-run (fresh plan, same result)
-    out2 = emb_pca_project(spark, SF_DIR).toPandas()
+    out2 = pca_project_vectors(spark, SF_DIR).toPandas()
     assert np.allclose(proj, out2[pc_cols].to_numpy())
 
     # (b) variance ordering
