@@ -60,6 +60,7 @@ _OPERATOR_MODULES = [
     "engine.sql4",
     "engine.timeseries",
     "engine.extras4",
+    "engine.extras5",
 ]
 
 
