@@ -20,16 +20,15 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Module order drives the driver's capped 50-entry CORRECTNESS window
-# (registration order == check order). Round 1 attested relational+aggs;
-# round 2 attested llmops/textops/simsearch/multimodal/windows/functions
-# (+ stream_tumbling_1h); round 3 attested udfs/trainext/etl/extras/
-# analytics/tpch_more (50/50 green). Round 4 fronts every key the driver
-# has never (or last-FAIL) attested: pipeops(10) + vecops(4) + extras2(6)
-# + streaming(7) + curation(4) + sketches(2) + extras3(2) + multimodal(3)
-# = 38, then functions fills the remaining 12 slots — fn_array_set_ops
-# (stale r02 FAIL, fixed in-tree) registers first within functions.
-# The sf0.001 pytest oracle layer still covers the rotated-out families.
+# Which keys the driver's capped 50-entry CORRECTNESS window checks is
+# controlled by _ATTEST_FIRST below (it pins the head of the returned dict
+# in key-name terms) — module order here only sets the order of everything
+# AFTER that list. History: r01 attested relational+aggs; r02
+# llmops/textops/simsearch/multimodal/windows/functions; r03
+# udfs/trainext/etl/extras/analytics/tpch_more (50/50 green); r04 fronts
+# the 36 never/stale-attested keys + 4 oracle promotions + 10 of the 28
+# r04-new keys. The sf0.001 pytest oracle layer covers every key every
+# round regardless of the window.
 _OPERATOR_MODULES = [
     "engine.pipeops",
     "engine.vecops",

@@ -236,6 +236,31 @@ def test_reservoir_sample_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_ewma_taps_broadcast(spark):
+    # r04: the 12-tap weight table must broadcast (it is 12 rows); the
+    # expensive events scan must appear once — the fan-out happens on the
+    # post-aggregation hourly table, never on raw events.
+    plan = _plan(spark, "win_ewma_smoothing")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_recursive_cte_single_plan(spark):
+    # r04: WITH RECURSIVE must stay one Catalyst plan (a loop node), not a
+    # driver-side re-plan per iteration.
+    plan = _plan(spark, "sql_recursive_cte_chain")
+    assert "Loop" in plan or "Recursion" in plan.replace("recursive", "Recursion"), plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # r04: <=> must plan as a HASH join (null hashes to a bucket like any
+    # key value) — never a nested loop or cartesian fallback.
+    plan = _plan(spark, "join_null_safe_eq")
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_rp_lsh_signatures_computed_once(spark):
     # r03: the signature MapInPandas must run once — the band self-join's
     # second side reads a ReusedExchange, and no embedding payload crosses
