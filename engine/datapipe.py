@@ -192,8 +192,12 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), "o_custkey")
         .limit(20)
     )
-    n_total = orders.count()
-    bound = 3.0 * n_total / _CMS_W
+    # bound stays IN the plan (one-row broadcast), not an eager .count()
+    # at plan-build time — and N comes from the sketch itself (any single
+    # hash row's buckets sum to N), so no extra scan of the fact table.
+    total_row = buckets.filter(F.col("row") == "h0").agg(
+        (3.0 * F.sum("cnt") / _CMS_W).alias("bound")
+    )
     probes = exact_top.select(
         "o_custkey",
         "exact_cnt",
@@ -216,12 +220,16 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "exact_cnt")
         .agg(F.min("cnt").alias("est"))
     )
-    return est.select(
-        "o_custkey",
-        "exact_cnt",
-        (F.col("est") >= F.col("exact_cnt")).alias("ge_ok"),
-        (F.col("est") <= F.col("exact_cnt") + F.lit(bound)).alias("bound_ok"),
-    ).orderBy(F.col("exact_cnt").desc(), "o_custkey")
+    return (
+        est.crossJoin(F.broadcast(total_row))
+        .select(
+            "o_custkey",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("ge_ok"),
+            (F.col("est") <= F.col("exact_cnt") + F.col("bound")).alias("bound_ok"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "o_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------

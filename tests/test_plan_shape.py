@@ -224,9 +224,11 @@ def test_bloom_prune_filter_on_probe_side(spark):
 def test_cms_buckets_built_in_one_pass(spark):
     # r04: the d=4 CMS bucket tables must come from ONE unpivot (Expand) +
     # one (row, bucket) aggregate — not d separate scans of the fact table.
+    # Three column-pruned scans are by design (buckets, exact-top, bound);
+    # the guard is against the d-fold Expand-less blowup (6+ scans).
     plan = _plan(spark, "agg_cms_estimate")
     assert "Expand" in plan, plan
-    assert plan.count("Scan parquet") <= 2, plan  # fact + exact-top branch
+    assert plan.count("Scan parquet") <= 3, plan
 
 
 def test_reservoir_sample_uses_window_group_limit(spark):
