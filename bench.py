@@ -99,6 +99,12 @@ def main() -> int:
         # (plan build + full execution, incl. re-running one-shot streaming
         # jobs); the median absorbs Python-worker cold starts + contention.
         n_runs = int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "3"))
+        # The unmemoized fns below bypass the @query wrapper and therefore
+        # its tune() call — apply the runtime confs explicitly so the sweep
+        # never depends on a wrapped headliner having run first.
+        from engine.session import tune
+
+        tune(spark)
         sweep: dict[str, float] = {}
         for name in sorted(queries):
             fresh = getattr(queries[name], "__wrapped__", queries[name])

@@ -38,7 +38,10 @@ from engine.tables import load
 # probabilistic structures as DataFrame ops
 # ---------------------------------------------------------------------------
 
-_BLOOM_WORDS = 256  # 2^14 bits; n≈300 build keys, k=5 → FP ≈ 5e-6
+_BLOOM_WORDS = 1024  # 2^16 bits; k=5 → FP ≈ 5e-9 at sf0.01 (n≈300 EUROPE
+# keys) and ≈ 3.6e-4 at sf0.1 (n≈3000) — sized for the BENCH scale, not the
+# oracle scale. At 100 TB, m grows with the build-side key count (m ≈ 10n
+# bits holds FP near 1%); the 8 KB array here broadcasts all the same.
 _BLOOM_K = 5
 
 
@@ -57,10 +60,10 @@ _BLOOM_K = 5
 def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter runtime pruning built from first principles: hash the
     EUROPE customer keys k=5 ways (xxhash64 with per-hash seeds) into a
-    2^14-bit filter assembled as ONE array<long> row via bit_or aggregation,
+    2^16-bit filter assembled as ONE array<long> row via bit_or aggregation,
     broadcast it, and drop orders whose o_custkey misses any bit BEFORE the
     exact join. The Bloom pass has no false negatives, and the exact join
-    removes the (≈5e-6 rate) false positives — so the result equals the
+    removes the rare false positives (≈3.6e-4 at the sf0.1 bench scale) — so the result equals the
     plain join, which IS the oracle. tests/test_datapipe.py asserts the
     prune actually rejects rows.
 
@@ -274,7 +277,14 @@ def text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap the model table at scale, frequency-floor the counts (C≥2) or
     hash-bucket the vocab — both order-preserving on this score."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    # Guard: a <2-token doc has no bigrams. Without the filter,
+    # sequence(1, size-1) at size==1 is sequence(1, 0) = [1, 0] (Spark
+    # infers step -1) and element_at(ts, 2) throws under ANSI mode. The
+    # oracle's range(1, len) is empty for such docs, so dropping them
+    # matches exactly.
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
     big = toks.select(
         "doc_id",
         F.explode(

@@ -208,7 +208,12 @@ def scan_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    if q.isActive:
+    finished = q.awaitTermination(120)
+    if not finished:
         q.stop()
+        raise TimeoutError(
+            "scan_python_stream_source: streaming query missed the 120s "
+            "deadline — failing loudly rather than returning a partial "
+            "memory-sink table that would misread as a correctness bug"
+        )
     return spark.table(name).orderBy("i")

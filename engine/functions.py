@@ -22,10 +22,10 @@ from engine.registry import query
 from engine.tables import load
 
 
-# fn_array_set_ops registers FIRST in this module: its last driver verdict was
-# the r02 canonicalizer crash (fixed in-tree by comma-joining arrays), and the
-# r04 attestation window has exactly 12 slots left after the eight
-# never-attested modules — early registration guarantees re-attestation.
+# fn_array_set_ops sits first in this module for visibility (its last driver
+# verdict was the r02 canonicalizer crash, fixed in-tree by comma-joining
+# arrays) — but WINDOW placement is controlled by name in
+# engine/registry.py's _ATTEST_FIRST, not by registration order.
 @query(
     "fn_array_set_ops",
     oracle="""

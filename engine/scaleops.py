@@ -339,8 +339,12 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (128-1024 MB) trades open() overhead against scan parallelism, and
     range clustering doubles as the sort-order contract for
     sink_sorted_clustered-style pruning."""
-    frag_dir = f"{_TMP}/sg_compact_frag_{sftag(sf_dir)}"
-    comp_dir = f"{_TMP}/sg_compact_out_{sftag(sf_dir)}"
+    # Per-invocation dirs (mkdtemp), NOT fixed paths: a concurrent
+    # invocation for the same sf_dir (parallel pytest, bench re-runs)
+    # would otherwise overwrite part files mid-scan of the other's read.
+    frag_dir = tempfile.mkdtemp(prefix=f"sg_compact_frag_{sftag(sf_dir)}_")
+    comp_dir = tempfile.mkdtemp(prefix=f"sg_compact_out_{sftag(sf_dir)}_")
+    etl_compact_small_files._last_dirs = (frag_dir, comp_dir)  # for tests
     o = load(spark, sf_dir, "orders")
     o.repartition(32).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)

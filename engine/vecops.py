@@ -263,6 +263,11 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
 
 
+# per-corpus PCA fit diagnostics (mean, eigenvalues, orthonormality error),
+# written by pca_project_vectors and read by the emb_pca_project key
+_PCA_FITS: dict[str, dict] = {}
+
+
 def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA: project every embedding onto the corpus's top-4
     principal components — (vec_id, pc1..pc4). The classic two-pass shape —
@@ -328,8 +333,11 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = int(np.argmax(np.abs(comps[:, j])))
         if comps[i, j] < 0:
             comps[:, j] = -comps[:, j]
-    # diagnostics for the self-validating queries() key
-    pca_project_vectors._last_fit = {  # type: ignore[attr-defined]
+    # diagnostics for the self-validating queries() key, keyed by sf_dir so
+    # interleaved fits for different corpora can never cross-contaminate
+    # the validation flags (the fit is deterministic per corpus, so a
+    # same-key overwrite is idempotent)
+    _PCA_FITS[sf_dir] = {
         "evals_top": evals[::-1][:n_comp].tolist(),
         "trace": float(np.trace(cov)),
         "orth_err": float(np.abs(comps.T @ comps - np.eye(n_comp)).max()),
@@ -387,7 +395,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     proj = pca_project_vectors(spark, sf_dir)
-    fit = pca_project_vectors._last_fit  # type: ignore[attr-defined]
+    fit = _PCA_FITS[sf_dir]
     emb = load(spark, sf_dir, "embeddings")
     mu = F.array(*[F.lit(float(m)) for m in fit["mean"]])
     centered_energy = F.aggregate(

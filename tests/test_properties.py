@@ -116,3 +116,26 @@ def test_poly_hash_range(s):
     for ch in s:
         h = (h * 131 + ord(ch)) % 2147483647
     assert 0 <= h < 2147483647
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """The HLL++ estimate itself (not just the key's self-validation flag)
+    stays within 5% of the exact distinct count per group — the bound the
+    agg_approx_distinct docstring cites."""
+    from pyspark.sql import functions as F
+
+    from engine.tables import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.count_distinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"], r

@@ -6,7 +6,6 @@ binary quantizer must preserve neighborhood order coarsely."""
 from __future__ import annotations
 
 import glob
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -98,13 +97,13 @@ def test_pattern_match_agrees_with_direct_check(spark):
 
 def test_compaction_reduces_file_count(spark):
     from engine.registry import collect
-    from engine.tables import sftag
+    from engine.scaleops import etl_compact_small_files
 
     queries, _ = collect()
     queries["etl_compact_small_files"](spark, SF_DIR).collect()
-    tag = sftag(SF_DIR)
-    frag = glob.glob(f"{tempfile.gettempdir()}/sg_compact_frag_{tag}/*.parquet")
-    comp = glob.glob(f"{tempfile.gettempdir()}/sg_compact_out_{tag}/*.parquet")
+    frag_dir, comp_dir = etl_compact_small_files._last_dirs
+    frag = glob.glob(f"{frag_dir}/*.parquet")
+    comp = glob.glob(f"{comp_dir}/*.parquet")
     assert len(frag) == 32
     assert len(comp) <= 4
 
