@@ -63,24 +63,34 @@ def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: each recursion step is one equi-join on (custkey, rn) —
     hash-partitioned, same key every step, so a cluster co-partitions the
     worktable once; depth is bounded by the longest qualifying chain, and
-    the worktable shrinks monotonically as chains break. The anchor +
-    step + aggregate all stay in one Catalyst plan (UnionLoop), letting
-    AQE size each iteration's shuffle."""
+    the worktable shrinks monotonically as chains break. The ``base``
+    relation (row-numbered orders) is MATERIALIZED to parquet before the
+    recursion: a plain CTE re-computes its scan + window on EVERY
+    iteration step (a recursive reference is not auto-cached), measured
+    2.5-3.3 s vs 1.78 s at sf0.1 — the bigger the derived worktable, the
+    bigger this win; same persist-multi-consumer rule as
+    dedup_near_minhash (docs/SCALE.md rule 6)."""
+    import tempfile
+
     tag = sftag(sf_dir)
     load(spark, sf_dir, "orders").createOrReplaceTempView(f"sg_orders_{tag}")
+    base_path = tempfile.mkdtemp(prefix=f"sg-recbase-{tag}-")
+    spark.sql(
+        f"""
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM sg_orders_{tag}
+        """
+    ).write.mode("overwrite").parquet(base_path)
+    spark.read.parquet(base_path).createOrReplaceTempView(f"sg_recbase_{tag}")
     return spark.sql(
         f"""
-        WITH RECURSIVE base AS (
-          SELECT o_custkey, o_orderdate,
-                 row_number() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS rn
-          FROM sg_orders_{tag}
-        ),
-        walk(cust, rn, d) AS (
-          SELECT o_custkey, rn, o_orderdate FROM base WHERE rn = 1
+        WITH RECURSIVE walk(cust, rn, d) AS (
+          SELECT o_custkey, rn, o_orderdate FROM sg_recbase_{tag} WHERE rn = 1
           UNION ALL
           SELECT b.o_custkey, b.rn, b.o_orderdate
-          FROM walk w JOIN base b
+          FROM walk w JOIN sg_recbase_{tag} b
             ON b.o_custkey = w.cust AND b.rn = w.rn + 1
           WHERE b.o_orderdate <= w.d + INTERVAL 60 DAY
         )
