@@ -114,3 +114,24 @@ def test_broadcast_side_gate_refuses_oversize(spark, monkeypatch):
     emb = load(spark, SF_DIR, "embeddings")
     with pytest.raises(RuntimeError, match="IVF"):
         llmops._broadcast_side(spark, SF_DIR, emb)
+
+
+def test_lit_table_escapes_backslash_and_rejects_nonfinite(spark):
+    """ADVICE r03: backslashes must survive the VALUES literal round-trip
+    (Spark treats backslash as an escape in string literals), and
+    None/NaN/inf inputs must fail loudly instead of emitting mangled SQL."""
+    import math
+
+    import pytest
+
+    from engine.tables import lit_table
+
+    rows = [["a\\b", 1], ["it's", 2], ["plain", 3]]
+    out = {r["s"]: r["n"] for r in lit_table(spark, rows, ["s", "n"]).collect()}
+    assert out == {"a\\b": 1, "it's": 2, "plain": 3}
+    with pytest.raises(ValueError):
+        lit_table(spark, [[None, 1]], ["s", "n"])
+    with pytest.raises(ValueError):
+        lit_table(spark, [[float("nan")]], ["x"])
+    with pytest.raises(ValueError):
+        lit_table(spark, [[math.inf]], ["x"])
