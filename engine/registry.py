@@ -160,10 +160,18 @@ _ATTEST_FIRST = [
     "agg_approx_median",
     "dedup_near_minhash",
     "sim_ann_ivf",
-    # 10 of the 20 r04-new keys fill the window's remaining slots (the
+    # 10 of the r04-new keys fill the window's remaining slots (the
     # alternative was re-attesting r02-green textops keys — zero new
-    # information). The other 10 r04 keys are r05's rotation, along with
-    # these if any fail.
+    # information). r05 rotation: replace this list with the 18 r04 keys
+    # never windowed — datapipe: text_perplexity_ngram, text_zipf_fit,
+    # sample_reservoir_group, fn_url_parse, agg_quantile_bins,
+    # emb_matryoshka_truncate; scaleops: agg_weighted_percentile,
+    # emb_binary_quantize, etl_compact_small_files, win_gaps_islands;
+    # timeseries: win_ewma_smoothing, etl_gap_fill_interpolate; extras4:
+    # fn_xml_extract, agg_skew_kurtosis, scan_python_stream_source;
+    # extras5: udaf_arrow_group, fn_explode_outer_structs,
+    # join_null_safe_eq — plus any r04 FAIL rows and 29+ re-attests of
+    # the oldest green keys.
     "sql_recursive_cte_chain",
     "sql_pipe_syntax",
     "fn_collation_group",
