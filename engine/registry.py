@@ -60,6 +60,7 @@ _OPERATOR_MODULES = [
     "engine.timeseries",
     "engine.extras4",
     "engine.extras5",
+    "engine.pipeline",
 ]
 
 
