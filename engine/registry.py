@@ -61,6 +61,7 @@ _OPERATOR_MODULES = [
     "engine.extras4",
     "engine.extras5",
     "engine.pipeline",
+    "engine.catalogops",
 ]
 
 
