@@ -62,6 +62,7 @@ _OPERATOR_MODULES = [
     "engine.extras5",
     "engine.pipeline",
     "engine.catalogops",
+    "engine.governance",
 ]
 
 
