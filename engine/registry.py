@@ -173,8 +173,11 @@ _ATTEST_FIRST = [
     # timeseries: win_ewma_smoothing, etl_gap_fill_interpolate; extras4:
     # fn_xml_extract, agg_skew_kurtosis, scan_python_stream_source;
     # extras5: udaf_arrow_group, fn_explode_outer_structs,
-    # join_null_safe_eq — plus any r04 FAIL rows and 29+ re-attests of
-    # the oldest green keys.
+    # join_null_safe_eq; pipeline: pipeline_corpus_datasheet; catalogops:
+    # sql_ddl_insert_view, sql_cache_table; governance: fn_mask_pii,
+    # fn_aes_roundtrip, sink_compression_codecs — 24 never-windowed keys
+    # total, plus any r04 FAIL rows and ~26 re-attests of the oldest
+    # green keys.
     "sql_recursive_cte_chain",
     "sql_pipe_syntax",
     "fn_collation_group",
