@@ -128,3 +128,42 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {cname} GROUP BY c_nationkey ORDER BY c_nationkey
         """
     )
+
+
+@query(
+    "sql_parameterized_exec",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers) composed with
+    EXECUTE IMMEDIATE (Spark 4): the filter thresholds arrive as BOUND
+    PARAMETERS (:min_qty etc.), not string-interpolated literals — the
+    injection-safe templating path for user-facing query services — and
+    the statement itself is dispatched through EXECUTE IMMEDIATE ... USING,
+    the dynamic-SQL entry point stored procedures and drivers use. The
+    oracle is the same query with the literals inlined: binding must be
+    semantically invisible.
+
+    100 TB: parameter markers keep the PLAN CACHE effective — a thousand
+    differently-parameterized runs of one template parse and analyze once
+    apiece instead of exploding the analyzed-plan space with distinct
+    literal trees."""
+    tag = sftag(sf_dir)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"sg_li_param_{tag}")
+    return spark.sql(
+        f"""
+        EXECUTE IMMEDIATE
+          'SELECT l_returnflag, count(*) AS n,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM sg_li_param_{tag}
+           WHERE l_quantity >= ? AND l_discount BETWEEN ? AND ?
+           GROUP BY l_returnflag ORDER BY l_returnflag'
+          USING 25 AS min_qty, 0.02 AS lo_disc, 0.08 AS hi_disc
+        """
+    )
