@@ -16,7 +16,6 @@ spark-warehouse), with the same oracle discipline as every query key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from engine.registry import query
 from engine.tables import load, sftag
@@ -156,13 +155,15 @@ def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal trees."""
     tag = sftag(sf_dir)
     load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"sg_li_param_{tag}")
+    # NAMED markers (:min_qty), not positional '?': binding is by name, so
+    # reordering the USING list cannot silently swap thresholds.
     return spark.sql(
         f"""
         EXECUTE IMMEDIATE
           'SELECT l_returnflag, count(*) AS n,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
            FROM sg_li_param_{tag}
-           WHERE l_quantity >= ? AND l_discount BETWEEN ? AND ?
+           WHERE l_quantity >= :min_qty AND l_discount BETWEEN :lo_disc AND :hi_disc
            GROUP BY l_returnflag ORDER BY l_returnflag'
           USING 25 AS min_qty, 0.02 AS lo_disc, 0.08 AS hi_disc
         """

@@ -104,39 +104,49 @@ def pipeline_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
 
     def shingles(col: str = "ts") -> F.Column:
+        # empty-array guard: sequence(1, 0) infers step -1 and yields
+        # [1, 0] (then slice(col, 0, 5) throws) — a <SHINGLE-token doc
+        # must produce NO shingles, matching the oracle's empty range
         return F.array_distinct(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(col) - (_SHINGLE - 1), F.lit(0)),
-                ),
+                F.when(
+                    F.size(col) >= _SHINGLE,
+                    F.sequence(F.lit(1), F.size(col) - (_SHINGLE - 1)),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.concat_ws(" ", F.slice(col, i, _SHINGLE)),
             )
         )
 
     eval_sh = ev.select(F.explode(shingles()).alias("sh")).distinct()
+    # flags FIRST: the near-free dedup window and token arithmetic shrink
+    # the pool before the shingle explode — only dedup+quality SURVIVORS
+    # pay the one expensive stage (dropped docs' contamination flag is
+    # never consumed downstream, so skipping them is semantics-neutral)
+    w = Window.partitionBy(F.substring("text", 1, 40))
+    base = train.select(
+        "doc_id",
+        "lang",
+        "ts",
+        F.size("ts").alias("n_tokens"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        (
+            (F.size("ts") >= _MIN_TOKENS)
+            & (
+                F.size(F.array_distinct("ts"))
+                >= _MIN_DISTINCT_RATIO * F.size("ts")
+            )
+        ).alias("quality_ok"),
+    )
     contaminated = (
-        train.select("doc_id", F.explode(shingles()).alias("sh"))
+        base.filter(~F.col("is_dup") & F.col("quality_ok"))
+        .select("doc_id", F.explode(shingles()).alias("sh"))
         .join(F.broadcast(eval_sh), "sh", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    w = Window.partitionBy(F.substring("text", 1, 40))
     flagged = (
-        train.select(
-            "doc_id",
-            "lang",
-            F.size("ts").alias("n_tokens"),
-            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
-            (
-                (F.size("ts") >= _MIN_TOKENS)
-                & (
-                    F.size(F.array_distinct("ts"))
-                    >= _MIN_DISTINCT_RATIO * F.size("ts")
-                )
-            ).alias("quality_ok"),
-        )
+        base.drop("ts")
         .join(contaminated, "doc_id", "left")
         .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     )
