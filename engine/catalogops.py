@@ -168,3 +168,49 @@ def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 25 AS min_qty, 0.02 AS lo_disc, 0.08 AS hi_disc
         """
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) o,
+    LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) t
+    ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 3.2+): for each high-value
+    order, its top-2 lineitems by price — the per-row-parameterized
+    subquery with ORDER BY ... LIMIT that a plain join cannot express and
+    that pre-LATERAL SQL needed a window + filter rewrite for
+    (win_row_number_topk is exactly that rewrite; this is the declarative
+    form). Deterministic (price DESC, linenumber) tie-break.
+
+    100 TB: Catalyst decorrelates the lateral into a join + per-key
+    WindowGroupLimit-style evaluation — same physical cost as the window
+    rewrite, so the form is a readability choice, not a performance one;
+    the outer filter (o_totalprice > 400000) prunes the driving side
+    before any lineitem work."""
+    tag = sftag(sf_dir)
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"sg_lat_orders_{tag}")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"sg_lat_li_{tag}")
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM (SELECT o_orderkey FROM sg_lat_orders_{tag}
+              WHERE o_totalprice > 400000) o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM sg_lat_li_{tag}
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber
+        """
+    )

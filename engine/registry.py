@@ -165,7 +165,7 @@ _ATTEST_FIRST = [
     "sim_ann_ivf",
     # 10 of the r04-new keys fill the window's remaining slots (the
     # alternative was re-attesting r02-green textops keys — zero new
-    # information). r05 rotation: replace this list with the 25 r04 keys
+    # information). r05 rotation: replace this list with the 26 r04 keys
     # never windowed — datapipe: text_perplexity_ngram, text_zipf_fit,
     # sample_reservoir_group, fn_url_parse, agg_quantile_bins,
     # emb_matryoshka_truncate; scaleops: agg_weighted_percentile,
@@ -174,9 +174,10 @@ _ATTEST_FIRST = [
     # fn_xml_extract, agg_skew_kurtosis, scan_python_stream_source;
     # extras5: udaf_arrow_group, fn_explode_outer_structs,
     # join_null_safe_eq; pipeline: pipeline_corpus_datasheet; catalogops:
-    # sql_ddl_insert_view, sql_cache_table, sql_parameterized_exec;
+    # sql_ddl_insert_view, sql_cache_table, sql_parameterized_exec,
+    # join_lateral_topk;
     # governance: fn_mask_pii, fn_aes_roundtrip, sink_compression_codecs
-    # — 25 never-windowed keys total, plus any r04 FAIL rows and ~25
+    # — 26 never-windowed keys total, plus any r04 FAIL rows and ~25
     # re-attests of the oldest green keys.
     "sql_recursive_cte_chain",
     "sql_pipe_syntax",
