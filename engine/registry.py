@@ -107,88 +107,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Keys fronted in collect()'s returned dict — the driver's capped 50-entry
 # CORRECTNESS window checks keys in dict order, so this list pins exactly
-# which keys get attested regardless of module/registration order. r04: the
-# 34 keys never in any driver window + 2 whose last verdict is the r02
-# canonicalizer FAIL (fn_array_set_ops, multimodal_decode_pipeline, both
-# fixed in-tree) + the 4 ex-ROWS keys promoted to FULL oracles this round
-# (agg_approx_distinct, agg_approx_median, dedup_near_minhash, sim_ann_ivf)
-# = 40; the remaining 10 window slots fall to registration order.
+# which keys get attested regardless of module/registration order.
+# History: r01 relational+aggs; r02 llmops/textops/simsearch/multimodal/
+# windows/functions; r03 udfs/trainext/etl/extras/analytics/tpch_more;
+# r04 the 36 never/stale keys + 4 oracle promotions + 10 sql4/datapipe/
+# scaleops keys — every r01-r04 window came back green. r05 (this list):
+# the 26 r04-registered keys never in any driver window, which completes
+# 220/220 cumulative attestation, plus re-attests of the oldest r01
+# greens filling the remaining slots.
 _ATTEST_FIRST = [
-    # pipeops (never windowed)
-    "data_split_stratified",
-    "text_containment",
-    "etl_dq_profile",
-    "scan_text_lines",
-    "etl_incremental_watermark",
-    "text_repetition_ratio",
-    "doc_length_histogram",
-    "sample_balanced_lang",
-    "emb_centroid_by_label",
-    "text_vocab_coverage",
-    # vecops (never windowed)
-    "emb_scalar_quantize",
-    "etl_funnel_stages",
-    "sim_ann_rp_lsh",
-    "emb_pca_project",
-    # extras2 (never windowed)
-    "agg_heavy_hitters",
-    "etl_snapshot_diff",
-    "join_asof_nearest",
-    "text_keyword_topterm",
-    "stream_foreachbatch_upsert",
-    "scan_binary_files",
-    # streaming (never windowed except tumbling)
-    "stream_sliding_1h_15m",
-    "stream_session_30m",
-    "stream_watermark_dedup",
-    "stream_late_data",
-    "stream_stateful_counter",
-    "stream_stream_join",
-    # curation (never windowed)
-    "text_decontaminate",
-    "text_pack_sequences",
-    "sample_source_mix",
-    "stream_static_enrich",
-    # sketches (never windowed)
-    "agg_hll_sketch_merge",
-    "agg_approx_top_k",
-    # extras3 (never windowed)
-    "fn_variant_shred",
-    "scan_python_datasource",
-    # stale r02 FAILs, fixed in-tree
-    "fn_array_set_ops",
-    "multimodal_decode_pipeline",
-    # ex-ROWS keys promoted to FULL oracles in r04
-    "agg_approx_distinct",
-    "agg_approx_median",
-    "dedup_near_minhash",
-    "sim_ann_ivf",
-    # 10 of the r04-new keys fill the window's remaining slots (the
-    # alternative was re-attesting r02-green textops keys — zero new
-    # information). r05 rotation: replace this list with the 26 r04 keys
-    # never windowed — datapipe: text_perplexity_ngram, text_zipf_fit,
-    # sample_reservoir_group, fn_url_parse, agg_quantile_bins,
-    # emb_matryoshka_truncate; scaleops: agg_weighted_percentile,
-    # emb_binary_quantize, etl_compact_small_files, win_gaps_islands;
-    # timeseries: win_ewma_smoothing, etl_gap_fill_interpolate; extras4:
-    # fn_xml_extract, agg_skew_kurtosis, scan_python_stream_source;
-    # extras5: udaf_arrow_group, fn_explode_outer_structs,
-    # join_null_safe_eq; pipeline: pipeline_corpus_datasheet; catalogops:
-    # sql_ddl_insert_view, sql_cache_table, sql_parameterized_exec,
-    # join_lateral_topk;
-    # governance: fn_mask_pii, fn_aes_roundtrip, sink_compression_codecs
-    # — 26 never-windowed keys total, plus any r04 FAIL rows and ~25
-    # re-attests of the oldest green keys.
-    "sql_recursive_cte_chain",
-    "sql_pipe_syntax",
-    "fn_collation_group",
-    "udtf_arrow_expand",
-    "plan_observe_metrics",
-    "join_bloom_prune",
-    "agg_cms_estimate",
-    "join_range_binned",
-    "agg_sketch_intersection",
-    "win_pattern_match",
+    # datapipe (never windowed)
+    "text_perplexity_ngram",
+    "text_zipf_fit",
+    "sample_reservoir_group",
+    "fn_url_parse",
+    "agg_quantile_bins",
+    "emb_matryoshka_truncate",
+    # scaleops (never windowed)
+    "agg_weighted_percentile",
+    "emb_binary_quantize",
+    "etl_compact_small_files",
+    "win_gaps_islands",
+    # timeseries (never windowed)
+    "win_ewma_smoothing",
+    "etl_gap_fill_interpolate",
+    # extras4 (never windowed)
+    "fn_xml_extract",
+    "agg_skew_kurtosis",
+    "scan_python_stream_source",
+    # extras5 (never windowed)
+    "udaf_arrow_group",
+    "fn_explode_outer_structs",
+    "join_null_safe_eq",
+    # pipeline capstone (never windowed)
+    "pipeline_corpus_datasheet",
+    # catalogops (never windowed)
+    "sql_ddl_insert_view",
+    "sql_cache_table",
+    "sql_parameterized_exec",
+    "join_lateral_topk",
+    # governance (never windowed)
+    "fn_mask_pii",
+    "fn_aes_roundtrip",
+    "sink_compression_codecs",
+    # — 26 never-windowed keys above; remaining 24 slots re-attest the
+    # oldest (r01) greens, which have not been driver-checked since r01.
+    "scan_parquet",
+    "scan_csv_roundtrip",
+    "scan_json_lines",
+    "sink_parquet_roundtrip",
+    "scan_partition_prune",
+    "project_rename_compute",
+    "filter_compound",
+    "filter_null_3vl",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_asof",
+    "join_interval",
+    "join_star_multiway",
+    "sort_multi_nulls",
+    "topk_order_limit",
+    "set_union_distinct",
+    "set_except_all",
+    "agg_global",
+    "agg_group_hash",
+    "agg_rollup",
+    "agg_percentile",
 ]
 
 
