@@ -32,6 +32,25 @@ def test_rp_lsh_recall(spark, sf_dir):
     assert recall >= 0.8, f"RP-LSH recall {recall} < 0.8 at {sf_dir}"
 
 
+def test_rp_lsh_no_broadcast_dependency(spark, monkeypatch):
+    """r05 (VERDICT r04 item 2): the exact-verify stage must not depend on
+    the ≤1M-vector broadcast matrix — force the old gate to refuse EVERY
+    corpus and prove the key still runs and still hits the recall floor.
+    (sim_topk_pairs, which legitimately uses the broadcast side, computes
+    the exact reference BEFORE the gate is zeroed.)"""
+    import engine.llmops as llmops
+    from engine.vecops import sim_ann_rp_lsh
+
+    exact = _exact_topk_pairs(spark, SF_DIR)
+    monkeypatch.setattr(llmops, "_MAX_BROADCAST_VECTORS", 0)
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in sim_ann_rp_lsh.__wrapped__(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"RP-LSH recall {recall} < 0.8 with broadcast gate at 0"
+
+
 def test_pca_contracts(spark):
     """Projection must (a) be deterministic across calls, (b) have
     column variances in decreasing order (top components first), and
