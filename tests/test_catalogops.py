@@ -54,3 +54,55 @@ def test_parameterized_exec_matches_inlined_literals(spark):
         ).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def _micro_corpus_lateral(spark, tmp_path):
+    """Micro orders/lineitem fixture targeting the LATERAL edge cases:
+    an order with ties at the k-th slot, one with fewer rows than k, one
+    with NO lineitems at all, and one below the driving filter."""
+    from engine.tables import SCHEMAS
+
+    orders = [
+        # (o_orderkey, o_totalprice): 1..3 qualify, 4 is filtered out
+        (1, 500000.0),
+        (2, 500000.0),
+        (3, 500000.0),  # no lineitems — must vanish (CROSS JOIN LATERAL)
+        (4, 100.0),
+    ]
+    li = [
+        # (l_orderkey, l_linenumber, l_extendedprice)
+        (1, 1, 10.0),
+        (1, 2, 30.0),
+        (1, 3, 30.0),  # tie at the top — linenumber 2 then 3, drop nothing
+        (1, 4, 30.0),  # tie at the k-th slot — LIMIT 2 keeps ln 2, 3 only
+        (2, 7, 5.0),  # group smaller than k: 1 row out
+        (4, 1, 99.0),  # parent filtered out
+    ]
+    spark.createDataFrame(
+        [(ok, None, None, tp, None, None) for ok, tp in orders],
+        SCHEMAS["orders"],
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (ok, None, None, ln, None, px, None, None, None, None, None)
+            for ok, ln, px in li
+        ],
+        SCHEMAS["lineitem"],
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_lateral_topk_ties_short_and_empty_groups(spark, tmp_path):
+    """LIMIT-2 tie-break must be deterministic (price DESC, then
+    linenumber), a 1-row group yields 1 row, and a qualifying order with
+    zero lineitems contributes nothing."""
+    from engine.catalogops import join_lateral_topk
+
+    d = _micro_corpus_lateral(spark, tmp_path)
+    fn = getattr(join_lateral_topk, "__wrapped__", join_lateral_topk)
+    got = [tuple(r) for r in fn(spark, d).collect()]
+    assert got == [
+        (1, 2, 30.0),  # ties broken by linenumber: 2 before 3, 4 cut by LIMIT
+        (1, 3, 30.0),
+        (2, 7, 5.0),  # short group survives with its single row
+    ]

@@ -141,3 +141,40 @@ def test_gaps_islands_streak_arithmetic(spark):
         assert r["active_hours"] == hours[r["user_id"]]
         assert r["max_streak_hours"] <= r["active_hours"]
         assert r["n_streaks"] >= 1
+
+
+def test_weighted_percentile_boundary_and_ties(spark, tmp_path):
+    """Hand-computed weighted medians on a micro lineitem: exact half-weight
+    crossing must INCLUDE the crossing row (cw >= 0.5*tw), a single-row
+    group is its own median, and tied prices resolve via the deterministic
+    (price, orderkey, linenumber) cumulative order."""
+    from engine.scaleops import agg_weighted_percentile
+    from engine.tables import SCHEMAS
+
+    rows = [
+        # (l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag)
+        # group A: cumsum hits EXACTLY half (2 of 4) on the first row ->
+        # weighted_median = 10.0, not 20.0
+        (1, 1, 2.0, 10.0, "A"),
+        (1, 2, 2.0, 20.0, "A"),
+        # group B: single row
+        (2, 1, 7.0, 5.0, "B"),
+        # group C: tied prices; half = 6, cumsum 1, 2, 12 -> crossing at 2.0
+        (3, 1, 1.0, 1.0, "C"),
+        (3, 2, 1.0, 1.0, "C"),
+        (4, 1, 10.0, 2.0, "C"),
+    ]
+    spark.createDataFrame(
+        [
+            (ok, None, None, ln, qty, px, None, None, rf, None, None)
+            for ok, ln, qty, px, rf in rows
+        ],
+        SCHEMAS["lineitem"],
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    fn = getattr(agg_weighted_percentile, "__wrapped__", agg_weighted_percentile)
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == [
+        ("A", 10.0, 4.0),
+        ("B", 5.0, 7.0),
+        ("C", 2.0, 12.0),
+    ]
