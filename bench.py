@@ -10,8 +10,10 @@ driver's output-capture window and made BENCH_r02.json unparseable:
 `"parsed": null` with only a tail recorded. The last stdout line must stay
 small.) Set SPARK_GRAFT_BENCH_FULL=0 to skip the sweep.
 
-Methodology mirrors BASELINE.md's DuckDB measurement: views over parquet, one
-warm-up run, one timed run per query (collect included), JVM startup excluded.
+Methodology mirrors BASELINE.md's DuckDB measurement: views over parquet,
+warm session, JVM startup excluded. Headline queries report MEDIAN-of-5 timed
+runs (collect included) with best-of-5 alongside; both lines carry a host
+loadavg annotation (the bench host has co-tenant noise with ±2× swings).
 Sweep keys are median-of-N fresh runs (default N=3, SPARK_GRAFT_SWEEP_RUNS;
 each run is a full plan build + execution via the unmemoized fn) — r03's
 single-run sweep showed ~1.3-2× jitter on sub-second keys, masking real
@@ -45,6 +47,23 @@ def _semi_anti(spark, sf_dir):
     return ok.agg(F.count("*").alias("cnt"))
 
 
+def _load_note() -> dict:
+    """Host-contention annotation (VERDICT r04 item 4): the bench host has
+    documented co-tenant noise with ±2× swings, so every bench line records
+    the 1/5/15-min load averages and core count needed to judge whether a
+    round-over-round delta is signal or load."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+        return {
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2),
+            "cpus": os.cpu_count(),
+        }
+    except OSError:
+        return {}
+
+
 def main() -> int:
     from engine.registry import collect
     from engine.session import get_spark
@@ -71,17 +90,20 @@ def main() -> int:
         for df in plans.values():
             df.collect()
     times: dict[str, float] = {}
+    times_best: dict[str, float] = {}
     for name, df in plans.items():
-        # Best-of-5: absorbs Python-worker cold starts + host contention
-        # (r04: back-to-back runs of identical code showed ±30% headline
-        # jitter with best-of-3; five runs of sub-second queries cost ~2 s
-        # and pin the floor).
-        best = float("inf")
+        # r05 (VERDICT r04 item 4): median-of-5 is the tracked signal —
+        # robust to one contention spike without hiding sustained slowness
+        # the way best-of-N does. best-of-5 rides along as the floor signal
+        # (the r04 methodology) so both views stay comparable across rounds.
+        runs = []
         for _ in range(5):
             t0 = time.perf_counter()
             df.collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[name] = round(runs[len(runs) // 2], 4)
+        times_best[name] = round(runs[0], 4)
 
     total = round(sum(times.values()), 4)
     out = {
@@ -89,6 +111,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_best": times_best,
+        "value_best": round(sum(times_best.values()), 4),
+        "load": _load_note(),
         "sf": sf,
     }
 
@@ -126,6 +151,7 @@ def main() -> int:
             "unit": "sec",
             "sf": sf,
             "runs_per_key": n_runs,
+            "load": _load_note(),
             "n_keys": len(sweep),
             "failed": sorted(k for k, v in sweep.items() if v < 0),
             "sweep": sweep,
