@@ -139,11 +139,26 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # true Structured Streaming (ROWS — engine-internal semantics)
 # ---------------------------------------------------------------------------
 
+# Deterministic per-corpus setup caches (r05 sweep-cost trim): the schema
+# probe, the symlink source dir, and the late-data replay files depend only
+# on sf_dir, so re-running a streaming key re-uses them instead of paying a
+# footer-probe job / mkdir / three batch writes per run. Every timed run
+# still executes a REAL streaming query (fresh checkpoint + state store).
+_SCHEMA_CACHE: dict[str, tuple[T.StructType, bool]] = {}
+_SRC_DIR_CACHE: dict[str, str] = {}
+_LATE_SRC_CACHE: dict[str, str] = {}
+_CKPT_ROOT: list[str] = []  # one shared checkpoint root per process
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> tuple[T.StructType, bool]:
     """Raw file-source schema for events + whether ts needs the nanos→ntz
     conversion. The corpus's ts physical type has varied across generations
     (int64 nanos vs native timestamp[us]); probe the batch reader's
-    footer-derived dtype once so the streaming source matches either."""
+    footer-derived dtype once per corpus so the streaming source matches
+    either."""
+    cached = _SCHEMA_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     ts_dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
     # Match KNOWN corpus variants only: a third variant (e.g. UTC-adjusted
     # timestamp[us], batch dtype 'timestamp') must fail loudly here rather
@@ -165,6 +180,7 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> tuple[T.StructType, 
             T.StructField("props", T.StringType()),
         ]
     )
+    _SCHEMA_CACHE[sf_dir] = (schema, ts_is_long)
     return schema, ts_is_long
 
 
@@ -181,8 +197,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     schema, ts_is_long = _events_raw_schema(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="sg-events-src-")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    d = _SRC_DIR_CACHE.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sg-events-src-")
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+        _SRC_DIR_CACHE[sf_dir] = d
     raw = spark.readStream.schema(schema).format("parquet").load(d)
     if ts_is_long:
         return raw.withColumn(
@@ -206,7 +225,11 @@ def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     import os
 
     spark = stream_df.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"sg-{name}-")
+    # One shared checkpoint root per process; each run still gets its own
+    # fresh checkpoint subtree (a reused checkpoint would replay nothing).
+    if not _CKPT_ROOT:
+        _CKPT_ROOT.append(tempfile.mkdtemp(prefix="sg-ckpt-root-"))
+    ckpt = tempfile.mkdtemp(prefix=f"{name}-", dir=_CKPT_ROOT[0])
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -308,20 +331,26 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
-    src = tempfile.mkdtemp(prefix=f"sg-late-src-{sftag(sf_dir)}-")
-    for i, part in enumerate(
-        [
-            e.filter((F.col("ts") >= cutoff) & (F.col("ts") < gap)),
-            e.filter(F.col("ts") >= gap),
-            e.filter(F.col("ts") < cutoff),
-        ]
-    ):
-        sub = tempfile.mkdtemp(prefix=f"sg-late-part{i}-")
-        part.coalesce(1).write.mode("overwrite").parquet(sub)
-        name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-        dest = f"{src}/batch{i}.parquet"
-        os.rename(f"{sub}/{name}", dest)
-        os.utime(dest, (1_000_000 + i * 1000,) * 2)  # replay order = file order
+    # The three replay files are a deterministic function of the corpus —
+    # build them once per sf_dir (r05: re-running this key previously paid
+    # three batch write jobs per run, pure sweep overhead).
+    src = _LATE_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix=f"sg-late-src-{sftag(sf_dir)}-")
+        for i, part in enumerate(
+            [
+                e.filter((F.col("ts") >= cutoff) & (F.col("ts") < gap)),
+                e.filter(F.col("ts") >= gap),
+                e.filter(F.col("ts") < cutoff),
+            ]
+        ):
+            sub = tempfile.mkdtemp(prefix=f"sg-late-part{i}-")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dest = f"{src}/batch{i}.parquet"
+            os.rename(f"{sub}/{name}", dest)
+            os.utime(dest, (1_000_000 + i * 1000,) * 2)  # replay order = file order
+        _LATE_SRC_CACHE[sf_dir] = src
     s = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .option("maxFilesPerTrigger", "1")
