@@ -1,0 +1,351 @@
+"""Graph + iterative algorithms over derived relations: SURVEY §2 round-5
+additions.
+
+The corpus has two natural graphs: the directed, weighted nation-level trade
+graph (customer nation → supplier nation, weight = lineitem count, derived
+through the orders⋈lineitem spine) and the bipartite part–supplier incidence
+graph (distinct (l_partkey, l_suppkey)). These four keys cover the shapes a
+DataFrame engine is usually claimed to be bad at — fixed-point iteration
+(PageRank, Lloyd's k-means) and multi-way self-joins (triangles) — restated
+as unrolled, deterministic Spark plans with SQL oracles.
+
+Determinism discipline (SURVEY §5.3): every per-iteration group-sum is
+rounded on BOTH sides before feeding the next iteration (double addition is
+order-dependent; rounding re-synchronizes the engines), while all per-row
+arithmetic (divisions, dot products as ordered left-folds) stays raw IEEE.
+
+Scale notes (100 TB):
+- PageRank iterations are join+agg per step — the Pregel message-passing
+  shape on the DataFrame API. The rank relation here is 25 rows (broadcast);
+  at billions of nodes the same plan hash-partitions ranks and edges on the
+  join key and the per-step shuffle is the classic PageRank cost. The only
+  driver-side values are scalar N and the damping constant.
+- Triangle counting orders each undirected edge (a < b) so every triangle is
+  enumerated exactly once — the node-ordering trick that bounds the join
+  fan-out by the degree distribution instead of 6× over-counting.
+- k-means keeps O(k·d) state (centroids) on the driver — the canonical
+  broadcast-centroids Lloyd step; assignment is a map-side expression,
+  the update one shuffle keyed (cluster, dim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+_EDGE_SQL = """
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation→nation trade edges with lineitem-count weights."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+@query(
+    "graph_pagerank_iter",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    nodes AS (SELECT DISTINCT src AS k FROM e UNION SELECT DISTINCT dst FROM e),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+    ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+    r0 AS (SELECT k, 1.0 / (SELECT cnt FROM n) AS pr FROM nodes),
+    r1 AS (SELECT nodes.k,
+             round(0.15 / (SELECT cnt FROM n)
+                   + 0.85 * coalesce(sum(r0.pr * e.w / ow.ow), 0), 12) AS pr
+           FROM nodes LEFT JOIN e ON e.dst = nodes.k
+             LEFT JOIN r0 ON r0.k = e.src LEFT JOIN ow ON ow.src = e.src
+           GROUP BY nodes.k),
+    r2 AS (SELECT nodes.k,
+             round(0.15 / (SELECT cnt FROM n)
+                   + 0.85 * coalesce(sum(r1.pr * e.w / ow.ow), 0), 12) AS pr
+           FROM nodes LEFT JOIN e ON e.dst = nodes.k
+             LEFT JOIN r1 ON r1.k = e.src LEFT JOIN ow ON ow.src = e.src
+           GROUP BY nodes.k),
+    r3 AS (SELECT nodes.k,
+             round(0.15 / (SELECT cnt FROM n)
+                   + 0.85 * coalesce(sum(r2.pr * e.w / ow.ow), 0), 12) AS pr
+           FROM nodes LEFT JOIN e ON e.dst = nodes.k
+             LEFT JOIN r2 ON r2.k = e.src LEFT JOIN ow ON ow.src = e.src
+           GROUP BY nodes.k)
+    SELECT k AS n_nationkey, round(pr, 8) AS pagerank FROM r3
+    """,
+)
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 unrolled iterations) over the
+    nation trade graph: PR'(v) = (1-d)/N + d·Σ_in PR(u)·w(u,v)/outw(u).
+    Dangling mass is dropped (documented simplification — no node in this
+    graph is dangling; the redistribution term would be one extra scalar
+    agg per step). Each iteration's rank is rounded to 12 dp on both
+    engines so the order-dependent group-sum re-synchronizes before it
+    feeds the next step.
+
+    100 TB: per iteration one join (ranks⋈edges on src — ranks broadcast
+    here; hash-partitioned co-location at graph scale, with edges
+    pre-partitioned ONCE and reused every step) + one shuffle (groupBy
+    dst). N is the single driver-side scalar (one count action)."""
+    e = _trade_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("k")).union(
+        e.select(F.col("dst").alias("k"))
+    ).distinct()
+    n = float(nodes.count())  # O(1) scalar: number of nations
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = e.join(ow, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+    pr = nodes.select("k", F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            ew.join(F.broadcast(pr.withColumnRenamed("k", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("s"))
+        )
+        pr = nodes.join(contrib, nodes.k == contrib.dst, "left").select(
+            "k",
+            F.round(
+                F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("s"), F.lit(0.0)), 12
+            ).alias("pr"),
+        )
+    return pr.select(
+        F.col("k").alias("n_nationkey"), F.round("pr", 8).alias("pagerank")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+          FROM e WHERE src <> dst GROUP BY 1, 2),
+    st AS (SELECT a, b FROM u WHERE w > 1.5 * (SELECT avg(w) FROM u)),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM st e1 JOIN st e2 ON e1.b = e2.a
+                       JOIN st e3 ON e1.a = e3.a AND e2.b = e3.b),
+    m AS (SELECT x AS k FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    SELECT k AS n_nationkey, count(*) AS n_triangles
+    FROM m GROUP BY k
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the strong-trade graph: direction
+    collapsed (least/greatest + weight sum), edges kept above 1.5× the mean
+    pair weight, triangles enumerated once via the a<b<c node-ordering
+    two-self-join (e1=(a,b), e2=(b,c), e3=(a,c)) — no 6× over-count, no
+    post-hoc dedup.
+
+    100 TB: the ordered enumeration bounds join fan-out by high-degree
+    nodes only on their ORDERED adjacency (the classic heavy-hitter fix is
+    degree-ordering instead of id-ordering; id order suffices at 25 nodes).
+    Both joins are hash-equi on edge endpoints."""
+    e = _trade_edges(spark, sf_dir)
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    mean_w = u.agg(F.avg("w").alias("m"))
+    st = (
+        u.join(F.broadcast(mean_w))
+        .filter(F.col("w") > 1.5 * F.col("m"))
+        .select("a", "b")
+    )
+    e1 = st.alias("e1")
+    e2 = st.alias("e2")
+    e3 = st.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("k"))
+        .unionAll(tri.select(F.col("y").alias("k")))
+        .unionAll(tri.select(F.col("z").alias("k")))
+    )
+    return members.groupBy(F.col("k").alias("n_nationkey")).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pd AS (SELECT l_partkey, count(*) AS deg FROM ps GROUP BY 1),
+    sd AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY 1)
+    SELECT 'part' AS side, deg AS degree, count(*) AS n_nodes
+    FROM pd GROUP BY 2
+    UNION ALL
+    SELECT 'supplier' AS side, deg AS degree, count(*) AS n_nodes
+    FROM sd GROUP BY 2
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of both sides of the part–supplier bipartite
+    incidence graph (distinct (l_partkey, l_suppkey) from lineitem): how
+    many parts have exactly d suppliers and vice versa — the first
+    diagnostic run on any graph before choosing join/skew strategy.
+
+    100 TB: distinct → two cascaded aggs per side; the second agg's domain
+    is |distinct degrees| (tiny). The distinct is the only full shuffle and
+    is shared by both sides via an explicit persist-free plan reuse (Spark
+    re-derives it per branch; at scale, checkpoint ps once)."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pd_ = ps.groupBy("l_partkey").agg(F.count("*").alias("deg"))
+    sd = ps.groupBy("l_suppkey").agg(F.count("*").alias("deg"))
+    out_p = pd_.groupBy("deg").agg(F.count("*").alias("n_nodes")).select(
+        F.lit("part").alias("side"), F.col("deg").alias("degree"), "n_nodes"
+    )
+    out_s = sd.groupBy("deg").agg(F.count("*").alias("n_nodes")).select(
+        F.lit("supplier").alias("side"), F.col("deg").alias("degree"), "n_nodes"
+    )
+    return out_p.unionAll(out_s)
+
+
+def _dot(x: Column, c: Column) -> Column:
+    """Ordered left-fold dot product — same evaluation order as DuckDB's
+    list_dot_product, so per-row values are bit-comparable."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, x AS cl FROM emb WHERE vec_id < 4),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.x, e.x)
+                          - 2 * list_dot_product(e.x, c.cl)
+                          + list_dot_product(c.cl, c.cl), c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN c0 c)
+      WHERE rn = 1),
+    c1m AS (
+      SELECT a1.cid, u.pos, round(avg(u.v), 8) AS v
+      FROM a1 JOIN emb e ON a1.vec_id = e.vec_id,
+           LATERAL (SELECT unnest(e.x) AS v,
+                           generate_subscripts(e.x, 1) AS pos) u
+      GROUP BY a1.cid, u.pos),
+    c1 AS (SELECT c0.cid,
+                  coalesce(
+                    (SELECT list(v ORDER BY pos) FROM c1m WHERE c1m.cid = c0.cid),
+                    c0.cl) AS cl
+           FROM c0),
+    a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.x, e.x) - 2 * list_dot_product(e.x, c.cl)
+                 + list_dot_product(c.cl, c.cl) AS d2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.x, e.x)
+                          - 2 * list_dot_product(e.x, c.cl)
+                          + list_dot_product(c.cl, c.cl), c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN c1 c)
+      WHERE rn = 1)
+    SELECT cid AS cluster_id, count(*) AS n_members,
+           round(sum(d2), 2) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means (k=4) plus re-assignment, fully
+    deterministic: init centroids = the 4 lowest vec_ids; assignment =
+    argmin squared distance (|x|² − 2x·c + |c|², dot products as ordered
+    folds; ties broken by lowest cluster id); update = per-(cluster, dim)
+    mean rounded to 8 dp on both engines (re-synchronizes the
+    order-dependent sum); empty clusters keep their previous centroid.
+    Output: per-cluster membership count + inertia.
+
+    100 TB: the canonical broadcast-centroids shape — assignment is a
+    map-side expression against k·d literals (no shuffle), the update is
+    ONE shuffle keyed (cluster, dim) with partial aggregation, and the
+    only driver state is the k×d centroid matrix (256 doubles; one
+    bounded collect per iteration). More iterations = a Python loop over
+    the same two steps; nothing grows with corpus size."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    k = 4
+    init = {
+        int(r["vec_id"]): [float(v) for v in r["x"]]
+        for r in emb.filter(F.col("vec_id") < k).collect()  # k rows
+    }
+
+    def assign(cents: dict[int, list[float]], with_d2: bool) -> DataFrame:
+        xx = _dot(F.col("x"), F.col("x"))
+        choices = []
+        for cid in sorted(cents):
+            cl = F.array(*[F.lit(v) for v in cents[cid]])
+            # |c|² as an ordered fold too — must match the oracle's
+            # list_dot_product(cl, cl) evaluation order bit-for-bit.
+            cc = _dot(cl, cl)
+            d2 = xx - 2 * _dot(F.col("x"), cl) + cc
+            choices.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*choices))
+        cols = ["vec_id", best.getField("cid").alias("cid")]
+        if with_d2:
+            cols.append(best.getField("d2").alias("d2"))
+        return emb.select(*cols)
+
+    a1 = assign(init, with_d2=False)
+    c1m = (
+        a1.join(emb, "vec_id")
+        .select("cid", F.posexplode("x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("col"), 8).alias("v"))
+        .collect()  # bounded: k×d rows (256 doubles)
+    )
+    upd: dict[int, dict[int, float]] = {}
+    for r in c1m:
+        upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["v"])
+    cents1 = {
+        cid: [upd[cid][p] for p in sorted(upd[cid])] if cid in upd else init[cid]
+        for cid in init
+    }
+    a2 = assign(cents1, with_d2=True)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"), F.round(F.sum("d2"), 2).alias("inertia")
+    )

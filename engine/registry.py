@@ -63,6 +63,10 @@ _OPERATOR_MODULES = [
     "engine.pipeline",
     "engine.catalogops",
     "engine.governance",
+    # r05 additions
+    "engine.graphops",
+    "engine.curation2",
+    "engine.extras6",
 ]
 
 
