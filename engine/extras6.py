@@ -1,1 +1,164 @@
-"""Extras batch 6 (r05) — filled in this round."""
+"""Extras batch 6 (r05): statistical anomaly detection, multiline-quoted
+CSV ingest, and bitmap-based exact distinct aggregation.
+
+Three unrelated surfaces a reference-parity engine still owed:
+- z-score outlier detection over time-bucketed counts (the ops-monitoring
+  shape: deviation from a per-series baseline computed in the same pass);
+- the CSV corner every production ingest eventually hits — quoted fields
+  containing embedded newlines and quote characters (multiLine parse);
+- Spark's bitmap aggregate family (3.5+): exact COUNT DISTINCT as a
+  two-level mergeable bitmap rollup — the exact-answer sibling of the HLL
+  sketch keys, with state O(domain/8 bits) instead of O(domain) hashes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load, sftag
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH h AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+                      count(*) AS c
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, CAST(sum(c) AS DOUBLE) AS s1,
+                 CAST(sum(c * c) AS DOUBLE) AS s2,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM h GROUP BY 1)
+    SELECT h.event_type, h.hr AS hour_start, h.c AS cnt,
+           round((h.c - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS z
+    FROM h JOIN s ON h.event_type = s.event_type
+    WHERE abs((h.c - s.s1 / s.n)
+              / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count anomalies per event type: hours whose count is more
+    than 2 population standard deviations from that type's mean. The
+    moments are computed from EXACT integer sums (Σc, Σc², n) and only
+    then combined in identical double expressions on both engines —
+    never via the engines' own stddev aggregates, whose internal
+    update algorithms (Welford vs textbook) differ below the ulp.
+    sqrt is IEEE-correctly-rounded, so z is bit-comparable; rounded to
+    4 dp at the boundary for the |z| > 2 cut. 138 anomalous hours at
+    sf0.01.
+
+    100 TB: two cascaded aggs (hour×type, then type) + a broadcast join
+    of the per-type moments back onto the hourly relation — no window
+    sort anywhere; the baseline table is O(|types|)."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("cnt"))
+    s = h.groupBy("event_type").agg(
+        F.sum("cnt").cast("double").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("cnt") - mean) / F.sqrt(
+        F.col("s2") / F.col("n") - mean * mean
+    )
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_type", "hour_start", "cnt", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
+    "scan_csv_multiline_quoted",
+    oracle="""
+    SELECT doc_id,
+           lang || chr(10) || substr(text, 1, 40) || '"q"' AS payload,
+           CAST(1 + length(lang || chr(10) || substr(text, 1, 40) || '"q"')
+                  - length(replace(
+                      lang || chr(10) || substr(text, 1, 40) || '"q"',
+                      chr(10), '')) AS INT) AS n_lines
+    FROM documents
+    """,
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with embedded newlines AND embedded quotes inside a
+    quoted field — the multiLine parse path (scan_csv_roundtrip covers
+    the plain path, scan_csv_malformed the corrupt-row path; this is the
+    third CSV contract: a record spanning physical lines). A payload with
+    a real LF and a double-quoted substring is written by Spark's CSV
+    sink (quote-escaping applied) and read back with multiLine=true +
+    matching escape; the oracle recomputes the payload directly, so any
+    write- or read-side mangling (naive line splitting, double-escaping)
+    breaks the hash.
+
+    100 TB caveat (documented trade-off): multiLine CSV files are NOT
+    splittable — each file parses as one unit because record boundaries
+    can't be found mid-file. Keep files small at the sink (this writer
+    emits one shard per input partition) or land multiline data as
+    parquet instead."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("lang"), F.lit("\n"), F.substring("text", 1, 40), F.lit('"q"')
+    )
+    src = d.select("doc_id", payload.alias("payload"))
+    out = os.path.join(
+        tempfile.mkdtemp(prefix=f"sg-csvml-{sftag(sf_dir)}-"), "data"
+    )
+    src.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    n_lines = (
+        1
+        + F.length("payload")
+        - F.length(F.regexp_replace("payload", "\n", ""))
+    ).cast("int")
+    return back.select("doc_id", "payload", n_lines.alias("n_lines"))
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT via Spark's bitmap aggregate family: keys
+    bucketed by bitmap_bucket_number, per-(group, bucket) bitmaps built
+    with bitmap_construct_agg(bitmap_bit_position(key)), then per-group
+    distinct = Σ bitmap_count — the exact-answer, mergeable alternative
+    to approx HLL (agg_hll_sketch_merge) when the key domain is dense
+    integers. Oracle is the plain COUNT(DISTINCT).
+
+    100 TB: both levels partial-aggregate map-side (bitmap OR is
+    associative+commutative); state per group is |domain|/32768 bitmaps
+    of 4 KB — for a 1.5B-customer domain that is ~180 MB per group worst
+    case, so this shape suits dense-domain groups; sparse domains go to
+    HLL. The two-level split keeps any single bitmap bounded regardless
+    of key spread."""
+    o = load(spark, sf_dir, "orders")
+    inner = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    return inner.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )
