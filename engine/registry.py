@@ -154,31 +154,33 @@ _ATTEST_FIRST = [
     "fn_mask_pii",
     "fn_aes_roundtrip",
     "sink_compression_codecs",
-    # — 26 never-windowed keys above; remaining 24 slots re-attest the
-    # oldest (r01) greens, which have not been driver-checked since r01.
+    # — 26 never-windowed keys above; the 12 r05-new keys next (attested
+    # in their birth round, unlike the r04 batch which had to wait);
+    # remaining 12 slots re-attest the oldest (r01) greens, not
+    # driver-checked since r01.
+    "graph_pagerank_iter",
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    "emb_kmeans_lloyd",
+    "dedup_cross_source",
+    "dedup_paragraph_chunks",
+    "text_quality_logreg",
+    "sample_temperature",
+    "agg_entropy_token",
+    "win_anomaly_zscore",
+    "scan_csv_multiline_quoted",
+    "agg_bitmap_distinct",
     "scan_parquet",
-    "scan_csv_roundtrip",
     "scan_json_lines",
-    "sink_parquet_roundtrip",
     "scan_partition_prune",
-    "project_rename_compute",
-    "filter_compound",
     "filter_null_3vl",
     "join_inner_equi",
-    "join_left_outer",
     "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
     "join_asof",
-    "join_interval",
     "join_star_multiway",
     "sort_multi_nulls",
-    "topk_order_limit",
-    "set_union_distinct",
     "set_except_all",
-    "agg_global",
     "agg_group_hash",
-    "agg_rollup",
     "agg_percentile",
 ]
 
