@@ -1,0 +1,200 @@
+"""Named tests for the round-5 keys (engine/graphops.py, engine/curation2.py,
+engine/extras6.py) — the invariants the generic oracle compare can't state:
+probability-mass conservation, brute-force graph cross-checks, monotone
+temperature rates, entropy bounds, and the no-shuffle plan shape of the
+quality scorer."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    from engine.registry import collect
+
+    queries, _ = collect()
+    return queries[name]
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    """No dangling nodes in the trade graph ⇒ total rank must stay 1
+    (up to the per-iteration 12-dp rounding); repeat runs identical."""
+    rows = _q("graph_pagerank_iter")(spark, SF_DIR).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    assert len(rows) == 25
+    again = _q("graph_pagerank_iter")(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts must equal a driver-side brute force over
+    the same strong-edge set (25 nodes — exhaustive is cheap here)."""
+    from engine.graphops import _trade_edges
+
+    e = _trade_edges(spark, SF_DIR)
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    mean_w = sum(r["w"] for r in u) / len(u)
+    edges = {(r["a"], r["b"]) for r in u if r["w"] > 1.5 * mean_w}
+    nodes = sorted({n for ab in edges for n in ab})
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges:
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r["n_nationkey"]: r["n_triangles"]
+        for r in _q("graph_triangle_count")(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_degree_distribution_accounts_every_edge(spark):
+    """Σ degree·n_nodes on each side must equal the number of distinct
+    (part, supplier) incidences."""
+    from engine.tables import load
+
+    n_pairs = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    rows = _q("graph_degree_distribution")(spark, SF_DIR).collect()
+    for side in ("part", "supplier"):
+        mass = sum(r["degree"] * r["n_nodes"] for r in rows if r["side"] == side)
+        assert mass == n_pairs, (side, mass, n_pairs)
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Cluster memberships must partition the corpus: sizes sum to the
+    vector count, ids ⊆ {0..3}, inertia non-negative."""
+    from engine.tables import load
+
+    n = load(spark, SF_DIR, "embeddings").count()
+    rows = _q("emb_kmeans_lloyd")(spark, SF_DIR).collect()
+    assert sum(r["n_members"] for r in rows) == n
+    assert {r["cluster_id"] for r in rows} <= {0, 1, 2, 3}
+    assert all(r["inertia"] >= 0 for r in rows)
+
+
+def test_cross_source_groups_are_real_groups(spark):
+    """Every reported group spans ≥2 sources and has ≥ as many copies as
+    sources; the corpus must actually produce groups (non-vacuous)."""
+    rows = _q("dedup_cross_source")(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_sources"] >= 2 and r["n_copies"] >= r["n_sources"]
+
+
+def test_paragraph_chunk_fractions_bounded(spark):
+    rows = _q("dedup_paragraph_chunks")(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["n_dup"] <= r["n_chunks"]
+        assert r["dup_frac"] >= 0.3
+
+
+def test_quality_logreg_no_shuffle_and_both_classes(spark):
+    """The scorer must be a pure map over the scan (no Exchange in the
+    plan) and must not degenerate to a single class on the corpus."""
+    df = _q("text_quality_logreg")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    classes = {r["passes"] for r in df.collect()}
+    assert classes == {True, False}
+
+
+def test_temperature_rates_favor_tail_sources(spark):
+    """Temperature mixing must give smaller sources a rate ≥ larger
+    sources' (n^α/n is decreasing in n), every rate in (0, 1], and kept
+    counts equal to ceil(n·rate)."""
+    import math
+
+    rows = sorted(
+        _q("sample_temperature")(spark, SF_DIR).collect(),
+        key=lambda r: r["n_orig"],
+    )
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+        assert r["n_kept"] == math.ceil(r["n_orig"] * r["rate"])
+    rates = [r["rate"] for r in rows]
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
+
+
+def test_entropy_bounded_by_log_vocab(spark):
+    import math
+
+    rows = _q("agg_entropy_token")(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["entropy_nats"] <= math.log(r["vocab"]) + 1e-9
+
+
+def test_zscore_recomputes_in_pandas(spark):
+    """Every flagged hour's z must match an independent pandas
+    recomputation from the raw hourly counts."""
+    from engine.tables import load
+
+    h = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("c"))
+        .toPandas()
+    )
+    got = _q("win_anomaly_zscore")(spark, SF_DIR).collect()
+    assert len(got) > 0
+    stats = {}
+    for et, grp in h.groupby("event_type"):
+        c = grp["c"].astype(float)
+        stats[et] = (c.mean(), (c.pow(2).mean() - c.mean() ** 2) ** 0.5)
+    for r in got:
+        mean, std = stats[r["event_type"]]
+        z = (r["cnt"] - mean) / std
+        assert abs(z) > 2
+        assert abs(round(z, 4) - r["z"]) <= 1e-4
+
+
+def test_csv_multiline_payload_survives(spark):
+    """Round-tripped payloads must still contain the embedded newline and
+    quote characters, one row per document."""
+    from engine.tables import load
+
+    n_docs = load(spark, SF_DIR, "documents").count()
+    rows = _q("scan_csv_multiline_quoted")(spark, SF_DIR).collect()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert "\n" in r["payload"] and '"q"' in r["payload"]
+        assert r["n_lines"] == 2
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from engine.tables import load
+
+    exact = {
+        (r["o_orderpriority"], r["n"])
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["o_orderpriority"], r["n_customers"])
+        for r in _q("agg_bitmap_distinct")(spark, SF_DIR).collect()
+    }
+    assert got == exact
