@@ -162,3 +162,139 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inner.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+@query(
+    "agg_ks_drift",
+    oracle="""
+    WITH v AS (SELECT value,
+                      CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+               FROM events WHERE event_type IN ('view', 'purchase')),
+    g AS (SELECT value, CAST(sum(i1) AS BIGINT) AS c1,
+                 CAST(sum(i2) AS BIGINT) AS c2
+          FROM v GROUP BY 1),
+    c AS (SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+                 sum(c2) OVER (ORDER BY value) AS cum2
+          FROM g),
+    n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+                 CAST(sum(c2) AS DOUBLE) AS n2 FROM g)
+    SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n_view,
+           CAST((SELECT n2 FROM n) AS BIGINT) AS n_purchase,
+           max(abs(CAST(cum1 AS DOUBLE) / (SELECT n1 FROM n)
+                   - CAST(cum2 AS DOUBLE) / (SELECT n2 FROM n))) AS d_stat
+    FROM c
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'view' and 'purchase' events: D = max |F₁(v) − F₂(v)|
+    over the pooled support — the standard drift test between two corpus
+    snapshots or two pipeline stages. Computed from EXACT per-value integer
+    counts and cumulative sums; the divisions and the max are then
+    bit-identical across engines, so D needs no rounding.
+
+    100 TB: the per-value agg collapses the stream first; the cumulative
+    window then runs over |distinct values| rows. That window is a single
+    global sort here (documented local-scale shortcut) — at scale,
+    range-partition by value and carry per-partition offset sums (the
+    standard distributed prefix-sum), or bin values to a fixed grid first
+    (KS on quantized support bounds the error by the bin width)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    n = g.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    return (
+        c.join(F.broadcast(n))
+        .agg(
+            F.min("n1").cast("bigint").alias("n_view"),
+            F.min("n2").cast("bigint").alias("n_purchase"),
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d_stat"),
+        )
+    )
+
+
+@query(
+    "etl_validate_fk_staging",
+    oracle="""
+    WITH staging AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS o_custkey
+      FROM orders),
+    fk1 AS (SELECT count(*) AS n_total,
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM staging s LEFT JOIN customer c ON s.o_custkey = c.c_custkey),
+    fk2 AS (SELECT count(*) AS n_total,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT 'staging_orders->customer' AS fk, n_total, n_violations FROM fk1
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, n_total, n_violations FROM fk2
+    """,
+)
+def etl_validate_fk_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate before a merge: an incoming staging batch
+    (orders with a deterministic 1-in-97 corrupted customer key, standing
+    in for a CDC feed with upstream damage) is audited against the
+    customer dimension, alongside the steady-state lineitem→orders check
+    (expected 0). The per-FK violation counts are what a pipeline asserts
+    on before letting etl_merge_cdc touch the warehouse — one nonzero and
+    one zero row, so both the detecting and the passing path are
+    exercised (no vacuous all-zeros audit).
+
+    100 TB: each check is one left join probing a dimension (broadcast
+    when small, shuffled hash otherwise) aggregated to two numbers —
+    audit cost is one pass per FK, and the checks are independent jobs
+    that can share the staging scan."""
+    o = load(spark, sf_dir, "orders")
+    staging = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1000000
+        ).otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    fk1 = staging.join(
+        F.broadcast(cust), staging.o_custkey == cust.c_custkey, "left"
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ok = o.select("o_orderkey")
+    fk2 = li.join(ok, li.l_orderkey == ok.o_orderkey, "left").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    return fk1.select(
+        F.lit("staging_orders->customer").alias("fk"), "n_total", "n_violations"
+    ).unionAll(
+        fk2.select(F.lit("lineitem->orders").alias("fk"), "n_total", "n_violations")
+    )

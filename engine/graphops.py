@@ -245,9 +245,9 @@ def _dot(x: Column, c: Column) -> Column:
     )
 
 
-@query(
-    "emb_kmeans_lloyd",
-    oracle="""
+# The k-means CTE chain shared by the emb_kmeans_lloyd oracle and the
+# dedup_semdedup oracle (SemDeDup clusters with the same Lloyd step).
+_KMEANS_CTES = """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
     c0 AS (SELECT vec_id AS cid, x AS cl FROM emb WHERE vec_id < 4),
     a1 AS (
@@ -285,6 +285,62 @@ def _dot(x: Column, c: Column) -> Column:
                ) AS rn
         FROM emb e CROSS JOIN c1 c)
       WHERE rn = 1)
+"""
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Lloyd-step assignment pipeline: (vec_id, cid, d2) after one
+    centroid update from the 4 lowest-vec_id seeds. See emb_kmeans_lloyd
+    for the determinism and 100 TB discussion; dedup_semdedup reuses these
+    clusters as its semantic blocking structure."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    k = 4
+    init = {
+        int(r["vec_id"]): [float(v) for v in r["x"]]
+        for r in emb.filter(F.col("vec_id") < k).collect()  # k rows
+    }
+
+    def assign(cents: dict[int, list[float]]) -> DataFrame:
+        xx = _dot(F.col("x"), F.col("x"))
+        choices = []
+        for cid in sorted(cents):
+            cl = F.array(*[F.lit(v) for v in cents[cid]])
+            # |c|² as an ordered fold too — must match the oracle's
+            # list_dot_product(cl, cl) evaluation order bit-for-bit.
+            cc = _dot(cl, cl)
+            d2 = xx - 2 * _dot(F.col("x"), cl) + cc
+            choices.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*choices))
+        return emb.select(
+            "vec_id",
+            best.getField("cid").alias("cid"),
+            best.getField("d2").alias("d2"),
+        )
+
+    a1 = assign(init)
+    c1m = (
+        a1.join(emb, "vec_id")
+        .select("cid", F.posexplode("x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("col"), 8).alias("v"))
+        .collect()  # bounded: k×d rows (256 doubles)
+    )
+    upd: dict[int, dict[int, float]] = {}
+    for r in c1m:
+        upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["v"])
+    cents1 = {
+        cid: [upd[cid][p] for p in sorted(upd[cid])] if cid in upd else init[cid]
+        for cid in init
+    }
+    return assign(cents1)
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=_KMEANS_CTES
+    + """
     SELECT cid AS cluster_id, count(*) AS n_members,
            round(sum(d2), 2) AS inertia
     FROM a2 GROUP BY cid
@@ -304,48 +360,62 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle keyed (cluster, dim) with partial aggregation, and the
     only driver state is the k×d centroid matrix (256 doubles; one
     bounded collect per iteration). More iterations = a Python loop over
-    the same two steps; nothing grows with corpus size."""
+    the same two steps; nothing grows with corpus size. The assignment
+    pipeline lives in kmeans_assign (shared with dedup_semdedup)."""
+    a2 = kmeans_assign(spark, sf_dir)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"), F.round(F.sum("d2"), 2).alias("inertia")
+    )
+
+
+@query(
+    "dedup_semdedup",
+    oracle=_KMEANS_CTES
+    + """
+    , pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN emb ex ON ex.vec_id = x.vec_id
+      JOIN emb ey ON ey.vec_id = y.vec_id
+      WHERE list_dot_product(ex.x, ey.x) >= 0.4)
+    SELECT b AS dropped_vec_id, min(a) AS keeper_vec_id,
+           count(*) AS n_suppressors
+    FROM pairs GROUP BY b
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): semantic near-duplicates found
+    by clustering embeddings (the shared Lloyd step) and comparing pairs
+    ONLY within a cluster — the cluster is the blocking structure that
+    turns O(n²) into Σ_c |c|². A vector is dropped when a lower-id vector
+    in its cluster has cosine ≥ 0.4; output = every dropped vector with
+    its deterministic keeper (lowest suppressor id) and suppressor count.
+    29–333 drops across the SFs — non-vacuous everywhere. Complements the
+    lexical dedup family (minhash/simhash/ngram): this catches
+    paraphrases with zero token overlap.
+
+    100 TB: per-cluster self-join after one shuffle on cid — with k grown
+    ~n/5000 (SemDeDup's regime) cluster sizes stay bounded, so candidate
+    work is linear in n at fixed cluster size. Embeddings ride the
+    shuffle (no broadcast matrix, no size gate — the same posture the r04
+    verdict required of sim_ann_rp_lsh). The dot is the ordered JVM fold,
+    so the τ comparison is bit-identical to the oracle's."""
+    a2 = kmeans_assign(spark, sf_dir).select("vec_id", "cid")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    k = 4
-    init = {
-        int(r["vec_id"]): [float(v) for v in r["x"]]
-        for r in emb.filter(F.col("vec_id") < k).collect()  # k rows
-    }
-
-    def assign(cents: dict[int, list[float]], with_d2: bool) -> DataFrame:
-        xx = _dot(F.col("x"), F.col("x"))
-        choices = []
-        for cid in sorted(cents):
-            cl = F.array(*[F.lit(v) for v in cents[cid]])
-            # |c|² as an ordered fold too — must match the oracle's
-            # list_dot_product(cl, cl) evaluation order bit-for-bit.
-            cc = _dot(cl, cl)
-            d2 = xx - 2 * _dot(F.col("x"), cl) + cc
-            choices.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-        best = F.array_min(F.array(*choices))
-        cols = ["vec_id", best.getField("cid").alias("cid")]
-        if with_d2:
-            cols.append(best.getField("d2").alias("d2"))
-        return emb.select(*cols)
-
-    a1 = assign(init, with_d2=False)
-    c1m = (
-        a1.join(emb, "vec_id")
-        .select("cid", F.posexplode("x"))
-        .groupBy("cid", "pos")
-        .agg(F.round(F.avg("col"), 8).alias("v"))
-        .collect()  # bounded: k×d rows (256 doubles)
+    av = a2.join(emb, "vec_id")
+    x = av.select(
+        F.col("cid"), F.col("vec_id").alias("a"), F.col("x").alias("xa")
     )
-    upd: dict[int, dict[int, float]] = {}
-    for r in c1m:
-        upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["v"])
-    cents1 = {
-        cid: [upd[cid][p] for p in sorted(upd[cid])] if cid in upd else init[cid]
-        for cid in init
-    }
-    a2 = assign(cents1, with_d2=True)
-    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count("*").alias("n_members"), F.round(F.sum("d2"), 2).alias("inertia")
+    y = av.select(
+        F.col("cid"), F.col("vec_id").alias("b"), F.col("x").alias("xb")
+    )
+    pairs = (
+        x.join(y, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_dot(F.col("xa"), F.col("xb")) >= 0.4)
+    )
+    return pairs.groupBy(F.col("b").alias("dropped_vec_id")).agg(
+        F.min("a").alias("keeper_vec_id"), F.count("*").alias("n_suppressors")
     )

@@ -170,16 +170,16 @@ _ATTEST_FIRST = [
     "win_anomaly_zscore",
     "scan_csv_multiline_quoted",
     "agg_bitmap_distinct",
+    "dedup_semdedup",
+    "agg_ks_drift",
+    "etl_validate_fk_staging",
     "scan_parquet",
-    "scan_json_lines",
     "scan_partition_prune",
     "filter_null_3vl",
     "join_inner_equi",
-    "join_full_outer",
     "join_asof",
     "join_star_multiway",
     "sort_multi_nulls",
-    "set_except_all",
     "agg_group_hash",
     "agg_percentile",
 ]

@@ -198,3 +198,72 @@ def test_bitmap_distinct_equals_count_distinct(spark):
         for r in _q("agg_bitmap_distinct")(spark, SF_DIR).collect()
     }
     assert got == exact
+
+
+def test_semdedup_matches_bruteforce_numpy(spark):
+    """The dropped set must equal a numpy brute force over the same
+    cluster assignment (clusters from the shared Lloyd helper)."""
+    import numpy as np
+
+    from engine.graphops import kmeans_assign
+    from engine.tables import load
+
+    a2 = {r["vec_id"]: r["cid"] for r in kmeans_assign(spark, SF_DIR).collect()}
+    emb = load(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in emb])
+    expected = {}
+    for cid in set(a2.values()):
+        idx = np.array([i for i, v in enumerate(ids) if a2[int(v)] == cid])
+        S = X[idx] @ X[idx].T
+        for j_pos, j in enumerate(idx):
+            sups = [
+                int(ids[i])
+                for i_pos, i in enumerate(idx)
+                if ids[i] < ids[j] and S[i_pos, j_pos] >= 0.4
+            ]
+            if sups:
+                expected[int(ids[j])] = (min(sups), len(sups))
+    got = {
+        r["dropped_vec_id"]: (r["keeper_vec_id"], r["n_suppressors"])
+        for r in _q("dedup_semdedup")(spark, SF_DIR).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_ks_drift_matches_scipy_style_recompute(spark):
+    """D must equal a pandas empirical-CDF recomputation."""
+    import numpy as np
+
+    from engine.tables import load
+
+    e = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    v1 = np.sort(e.loc[e.event_type == "view", "value"].to_numpy())
+    v2 = np.sort(e.loc[e.event_type == "purchase", "value"].to_numpy())
+    support = np.unique(np.concatenate([v1, v2]))
+    f1 = np.searchsorted(v1, support, side="right") / len(v1)
+    f2 = np.searchsorted(v2, support, side="right") / len(v2)
+    expected = float(np.max(np.abs(f1 - f2)))
+    r = _q("agg_ks_drift")(spark, SF_DIR).collect()[0]
+    assert r["n_view"] == len(v1) and r["n_purchase"] == len(v2)
+    assert abs(r["d_stat"] - expected) < 1e-12
+
+
+def test_fk_staging_gate_detects_and_passes(spark):
+    """The corrupted FK must show exactly the 1-in-97 violation count;
+    the steady-state FK must show zero."""
+    from engine.tables import load
+
+    n_corrupt = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .count()
+    )
+    rows = {r["fk"]: r for r in _q("etl_validate_fk_staging")(spark, SF_DIR).collect()}
+    assert rows["staging_orders->customer"]["n_violations"] == n_corrupt > 0
+    assert rows["lineitem->orders"]["n_violations"] == 0
