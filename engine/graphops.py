@@ -288,11 +288,21 @@ _KMEANS_CTES = """
 """
 
 
+# Built assignment plans per (session, corpus): the centroid fit is
+# deterministic, and both emb_kmeans_lloyd and dedup_semdedup need it —
+# caching the plan skips repeating the two bounded centroid collects.
+_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Lloyd-step assignment pipeline: (vec_id, cid, d2) after one
     centroid update from the 4 lowest-vec_id seeds. See emb_kmeans_lloyd
     for the determinism and 100 TB discussion; dedup_semdedup reuses these
     clusters as its semantic blocking structure."""
+    ck = (spark, sf_dir)
+    cached = _ASSIGN_CACHE.get(ck)
+    if cached is not None:
+        return cached
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
@@ -334,7 +344,9 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cid: [upd[cid][p] for p in sorted(upd[cid])] if cid in upd else init[cid]
         for cid in init
     }
-    return assign(cents1)
+    out = assign(cents1)
+    _ASSIGN_CACHE[ck] = out
+    return out
 
 
 @query(
