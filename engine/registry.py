@@ -63,10 +63,15 @@ _OPERATOR_MODULES = [
     "engine.pipeline",
     "engine.catalogops",
     "engine.governance",
-    # r05 additions
+    # r05 additions (graphops/curation2/extras6 fronted by the r05 window;
+    # retrieval/sql5/sinks2 registered late-round AFTER the window — the
+    # r06 rotation fronts them, mirroring how the r04 batch was handled)
     "engine.graphops",
     "engine.curation2",
     "engine.extras6",
+    "engine.retrieval",
+    "engine.sql5",
+    "engine.sinks2",
 ]
 
 
