@@ -267,3 +267,105 @@ def test_fk_staging_gate_detects_and_passes(spark):
     rows = {r["fk"]: r for r in _q("etl_validate_fk_staging")(spark, SF_DIR).collect()}
     assert rows["staging_orders->customer"]["n_violations"] == n_corrupt > 0
     assert rows["lineitem->orders"]["n_violations"] == 0
+
+
+def test_bm25_matches_reference_recompute(spark):
+    """Top-20 BM25 must equal a pure-Python recomputation (rank_bm25-style
+    reference formula) on the same corpus."""
+    import math
+
+    from engine.tables import load
+
+    docs = [
+        (r["doc_id"], r["text"].split(" "))
+        for r in load(spark, SF_DIR, "documents").collect()
+    ]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    terms = ("table", "join", "spark")
+    dfs = {t: sum(1 for _, toks in docs if t in toks) for t in terms}
+    scored = []
+    for doc_id, toks in docs:
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if any(t in toks for t in terms):
+            scored.append((round(s, 6), doc_id))
+    expected = sorted(scored, key=lambda x: (-x[0], x[1]))[:20]
+    got = [
+        (r["score"], r["doc_id"])
+        for r in _q("text_bm25_rank")(spark, SF_DIR).collect()
+    ]
+    assert [(s, d) for s, d in expected] == [
+        (round(s, 6), d) for s, d in got
+    ]
+
+
+def test_pmi_pairs_are_corpus_bigrams(spark):
+    """Every reported pair must actually be an adjacent bigram with the
+    stated count, and PMI must be finite."""
+    import math
+
+    from engine.tables import load
+
+    from collections import Counter
+
+    big = Counter()
+    for r in load(spark, SF_DIR, "documents").collect():
+        toks = r["text"].split(" ")
+        big.update(zip(toks, toks[1:]))
+    rows = _q("text_cooccurrence_pmi")(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert big[(r["w1"], r["w2"])] == r["n_pair"]
+        assert math.isfinite(r["pmi"])
+
+
+def test_sql_udf_plan_identical_to_inline(spark):
+    """SQL UDFs must inline: the optimized plan must contain no UDF node
+    and match the hand-written expression's aggregate shape."""
+    df = _q("sql_udf_sql_function")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_session_variable_pushdown_survives(spark):
+    """The variable-bound filter must still reach the parquet scan."""
+    df = _q("sql_session_variable")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "150000" in plan, plan
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark):
+    """After the urgent-partition rewrite, untouched priorities must carry
+    their ORIGINAL totals and urgent exactly double."""
+    from engine.tables import load
+
+    base = {
+        r["o_orderpriority"]: (r["n"], r["t"])
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .collect()
+    }
+    got = {
+        r["o_orderpriority"]: (r["n"], r["total"])
+        for r in _q("etl_partition_overwrite_dynamic")(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(base)
+    for prio, (n, t) in base.items():
+        if prio == "1-URGENT":
+            assert got[prio][0] == n and abs(got[prio][1] - round(2 * t, 2)) < 0.02
+        else:
+            assert got[prio] == (n, t)
+
+
+def test_recursive_glob_ignores_decoy_and_finds_nested(spark):
+    from engine.tables import load
+
+    n = load(spark, SF_DIR, "documents").count()
+    rows = _q("scan_recursive_glob")(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == n
