@@ -298,3 +298,65 @@ def etl_validate_fk_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         fk2.select(F.lit("lineitem->orders").alias("fk"), "n_total", "n_violations")
     )
+
+
+@query(
+    "etl_conversion_latency",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+          GROUP BY e.user_id),
+    lat AS (SELECT epoch(p.purchase_ts - v.view_ts) AS s
+            FROM v JOIN p ON v.user_id = p.user_id)
+    SELECT count(*) AS n_converted,
+           round(min(s), 1) AS min_s,
+           round(quantile_cont(s, 0.5), 4) AS median_s,
+           round(quantile_cont(s, 0.9), 4) AS p90_s,
+           round(avg(s), 1) AS avg_s
+    FROM lat
+    """,
+)
+def etl_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first 'view'
+    to the first 'purchase' AFTER it (the funnel's latency companion —
+    etl_funnel_stages reports WHO converts, this reports HOW FAST),
+    summarized as count / min / exact median / p90 / mean. Exact
+    interpolated percentiles (agg_percentile's discipline), aggregate
+    rounding on both engines.
+
+    100 TB: two min-aggregations keyed on user collapse the stream before
+    any join; the summary is a single global agg over |converted users|
+    rows. Exact percentiles sort that one column — switch to
+    percentile_approx past memory, as agg_percentile documents."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("view_ts").cast("timestamp"))
+            )
+            / 1e6
+        ).alias("s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.min("s"), 1).alias("min_s"),
+        F.round(F.percentile("s", 0.5), 4).alias("median_s"),
+        F.round(F.percentile("s", 0.9), 4).alias("p90_s"),
+        F.round(F.avg("s"), 1).alias("avg_s"),
+    )

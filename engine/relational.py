@@ -746,3 +746,61 @@ def topk_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_mktsegment", "c_custkey", "c_nationkey", F.rank().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, asof_orderkey, asof_orderdate FROM (
+        SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+      ) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, m.asof_orderkey, m.asof_orderdate
+    FROM events e LEFT JOIN m ON e.event_id = m.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (pandas merge_asof's
+    ``tolerance=``): each event matched to the user's latest order at or
+    before ts but no older than 7 days — and, unlike join_asof's inner
+    shape, events with NO order inside the window are KEPT with nulls
+    (the left-join contract a feature pipeline needs: absence is a
+    feature, not a dropped row). Completes the as-of family:
+    backward (join_asof), forward (join_asof_forward), nearest
+    (join_asof_nearest), bounded-backward-with-nulls (this).
+
+    100 TB: the tolerance bound is also the performance bound — it caps
+    the per-user candidate range regardless of history depth, which is
+    what makes the range join feasible on years-deep order histories
+    (bucket by time at the tolerance granularity for the bucketed-equi
+    rewrite join_range_binned documents)."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate <= e.ts)
+        & (o.o_orderdate >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    m = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+    return e.select("event_id", "user_id").join(m, "event_id", "left")

@@ -142,3 +142,35 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token, t.pos "
         "FROM sg_udtf_docs, LATERAL sg_tokenize(doc_id, text) t"
     )
+
+
+@query(
+    "udf_python_arrow_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def udf_python_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (udf(..., useArrow=True), Spark
+    3.5+/4): the third point of the scalar-UDF matrix beside the pickled
+    row-at-a-time udf_python_scalar and the pandas_udf batch variant —
+    same Python lambda, Arrow columnar transport, no pandas Series
+    wrapper. Per-element Python math on IEEE doubles is bit-identical to
+    the JVM expression, so the aggregate hash-matches the pure-SQL oracle.
+
+    100 TB: still the slow path (per-element Python), but Arrow transport
+    removes pickle overhead — the right choice when a scalar UDF is
+    unavoidable and the logic resists vectorization."""
+    disc = F.udf(lambda p, d: p * (1.0 - d), "double", useArrow=True)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(disc(F.col("l_extendedprice"), F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("l_returnflag")
+    )

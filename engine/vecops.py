@@ -467,3 +467,50 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(var_desc_ok).alias("var_desc_ok"),
         F.lit(explained_ok).alias("explained_ok"),
     )
+
+
+@query(
+    "emb_norm_profile",
+    oracle="""
+    WITH n AS (SELECT label,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings)
+    SELECT label, count(*) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS avg_norm,
+           CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonunit
+    FROM n GROUP BY label
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column data quality: per-label L2-norm profile (min / max
+    / mean) plus the count of non-unit vectors (|‖x‖−1| > 0.01) — the
+    first audit before any cosine-based op, since an unnormalized slice
+    silently corrupts every dot-product similarity downstream. Norms are
+    ordered folds + IEEE sqrt (bit-identical cross-engine); min/max are
+    exact, mean rounded as an aggregate.
+
+    100 TB: one map + one agg, partial combine applies; output is
+    O(|labels|)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(x, x, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n = e.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.sum(
+            F.when(F.abs(F.col("nrm") - 1.0) > 0.01, 1).otherwise(0)
+        ).alias("n_nonunit"),
+    )
