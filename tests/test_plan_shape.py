@@ -270,3 +270,47 @@ def test_rp_lsh_signatures_computed_once(spark):
     plan = _plan(spark, "sim_ann_rp_lsh")
     assert plan.count("MapInPandas") == 1, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """The normalized edge relation must come from the cache (InMemory
+    scan), not re-run the 4-join derivation spine per iteration, and the
+    tiny rank relation must broadcast into every iteration join."""
+    plan = _plan(spark, "graph_pagerank_iter")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_semdedup_join_has_no_broadcast_matrix_or_cartesian(spark):
+    """SemDeDup's verify stage must be a keyed cluster join — no
+    cartesian product, no nested loop over a broadcast matrix."""
+    plan = _plan(spark, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_is_single_stats_broadcast_over_map(spark):
+    """BM25 must broadcast ONE corpus-stats row onto a pure map — a
+    per-doc shuffle would mean the scoring lost its map-side shape."""
+    plan = _plan(spark, "text_bm25_rank")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # top-20 must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark):
+    """Both bitmap levels must partial-aggregate map-side before their
+    exchanges (bitmap_construct_agg plans as SortAggregate — not
+    hash-aggregable — but still splits into partial + final), never
+    collect raw keys to one node."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_asof_tolerance_keeps_range_in_join_condition(spark):
+    """The 7-day tolerance must live in the join (bounding the per-user
+    candidate range), not in a post-join filter over the full history."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
