@@ -661,3 +661,281 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "tpch_q2_min_cost_adapted",
+    oracle="""
+    WITH uc AS (SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2),
+    eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE'),
+    best AS (SELECT uc.l_partkey, min(unit_cost) AS mc
+             FROM uc JOIN eu ON uc.l_suppkey = eu.s_suppkey
+             GROUP BY 1)
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name, uc.l_partkey AS p_partkey,
+           uc.unit_cost
+    FROM uc
+    JOIN eu ON uc.l_suppkey = eu.s_suppkey
+    JOIN best ON best.l_partkey = uc.l_partkey AND uc.unit_cost = best.mc
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (no partsupp table in this corpus): the
+    minimum-cost European supplier for each part, with supply cost derived
+    as each (part, supplier)'s best observed unit price from lineitem.
+    The essence of Q2 survives intact — a correlated minimum (part's best
+    cost among region-qualified suppliers) re-joined on equality, the
+    region-filtered supplier dimension chain, and the Q2 ORDER BY
+    (acctbal DESC, nation, supplier, part) LIMIT 100. The cost equality
+    join is exact: min() selects an actual division result, bit-identical
+    in both engines.
+
+    100 TB: the unit-cost agg collapses lineitem to |part×supplier| rows
+    map-side; the correlated min is a second agg over that (already
+    reduced) relation; suppliers/nations/regions broadcast."""
+    uc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    uce = uc.join(F.broadcast(eu), uc.l_suppkey == eu.s_suppkey)
+    best = uce.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("mc")
+    )
+    return (
+        uce.join(
+            best,
+            (uce.l_partkey == best.bk) & (uce.unit_cost == best.mc),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q12_late_shipping_adapted",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12_late_shipping_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted (no l_shipmode/commitdate/receiptdate):
+    late shipments — lines shipped more than 60 days after their order
+    date — classified per return-flag class (standing in for ship mode)
+    into priority buckets via Q12's signature conditional-count pair.
+    The join + date-arithmetic predicate + CASE-bucketed aggregation is
+    exactly Q12's plan shape.
+
+    100 TB: the date predicate applies at the join (pruning before the
+    agg); the conditional counts partial-aggregate map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "tpch_q21_waiting_adapted",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted (lateness = shipped >60 days after order
+    date, in lieu of receipt/commit dates): suppliers who were the SOLE
+    late supplier on a finalized multi-supplier order — Q21's signature
+    double correlation (EXISTS another supplier on the order, NOT EXISTS
+    another LATE supplier), top-20 by wait count. Executed as a left-semi
+    plus a left-anti join on the order key with supplier-inequality
+    residuals — the decorrelated plan Q21 is famous for forcing.
+
+    100 TB: both correlations are order-keyed semi/anti joins (hash
+    shuffles on l_orderkey); the 'late' relation is filtered before any
+    correlation, so the anti join probes only late lines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).alias("l2")
+    has_other = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("ok2"))
+        & (F.col("l1.l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).alias("l3")
+    sole_late = has_other.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("ok3"))
+        & (F.col("l1.l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11_important_stock_adapted",
+    oracle="""
+    WITH g AS (SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS val
+               FROM lineitem l
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation n ON s.s_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               WHERE r.r_name = 'EUROPE'
+               GROUP BY 1)
+    SELECT l_partkey AS p_partkey, val
+    FROM g WHERE val > 1.5 * (SELECT round(avg(val), 6) FROM g)
+    ORDER BY val DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp: part value = total European
+    lineitem revenue instead of availqty × supplycost): parts whose
+    region-scoped value exceeds a scalar-subquery threshold — Q11's
+    signature group-vs-global-aggregate HAVING. Threshold = 1.5× the
+    mean per-part value (the spec's fraction-of-total constant is
+    SF-dependent; the mean multiple stays non-vacuous at every SF).
+    Both val (round 2) and the mean (round 6) are rounded on both
+    engines before the strict > compare, so the cut is deterministic
+    despite order-dependent double sums.
+
+    100 TB: one agg collapses lineitem per part (map-side partial), the
+    scalar threshold is a one-row broadcast, and the filter runs over the
+    already-collapsed relation — Q11's plan exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    g = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("val"))
+    )
+    thr = g.agg(F.round(F.avg("val"), 6).alias("m"))
+    return (
+        g.join(F.broadcast(thr))
+        .filter(F.col("val") > 1.5 * F.col("m"))
+        .select(F.col("l_partkey").alias("p_partkey"), "val")
+        .orderBy(F.col("val").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q20_excess_supplier_adapted",
+    oracle="""
+    WITH tot AS (SELECT l_partkey, sum(l_quantity) AS tq
+                 FROM lineitem GROUP BY 1),
+    sup AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+            FROM lineitem GROUP BY 1, 2),
+    dom AS (SELECT DISTINCT sup.l_suppkey
+            FROM sup JOIN tot ON sup.l_partkey = tot.l_partkey
+            WHERE sup.sq > 0.15 * tot.tq)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM dom WHERE dom.l_suppkey = s.s_suppkey)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_excess_supplier_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp availqty: 'excess' = the
+    supplier shipped more than 15% of some part's total shipped
+    quantity): the nested semi-join chain — per-(part, supplier)
+    aggregate, correlated comparison against the per-part total, then a
+    semi join lifting the qualifying suppliers into the dimension scan.
+    Quantities are integral-valued doubles, so the 0.15 threshold
+    compare is exact arithmetic on both engines (no rounding needed).
+
+    100 TB: two cascaded aggs on lineitem (partial map-side) + one
+    hash-partitioned join on part; the final supplier probe is a
+    left-semi against a relation already collapsed to |suppliers|."""
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    sup = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    dom = (
+        sup.join(tot, sup.l_partkey == tot.tk)
+        .filter(F.col("sq") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
