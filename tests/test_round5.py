@@ -369,3 +369,30 @@ def test_recursive_glob_ignores_decoy_and_finds_nested(spark):
     n = load(spark, SF_DIR, "documents").count()
     rows = _q("scan_recursive_glob")(spark, SF_DIR).collect()
     assert sum(r["n_docs"] for r in rows) == n
+
+
+def test_rag_index_chunks_are_deduped_and_positive(spark):
+    """Every emitted chunk reference must (a) point at a real chunk, (b)
+    be the FIRST occurrence of its text corpus-wide, (c) carry a positive
+    score containing at least one query term."""
+    from engine.tables import load
+
+    refs = _q("pipeline_rag_index")(spark, SF_DIR).collect()
+    assert len(refs) == 50
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    first_seen = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        for k in range(len(toks) // 10):
+            chunk = " ".join(toks[k * 10 : (k + 1) * 10])
+            first_seen.setdefault(chunk, (doc_id, k + 1))
+    for r in refs:
+        toks = docs[r["doc_id"]]
+        k = r["chunk_idx"]
+        chunk = " ".join(toks[(k - 1) * 10 : k * 10])
+        assert first_seen[chunk] == (r["doc_id"], k), "not the keeper"
+        assert r["score"] > 0
+        assert any(t in chunk.split(" ") for t in ("spark", "join", "fast"))
