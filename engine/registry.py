@@ -72,6 +72,7 @@ _OPERATOR_MODULES = [
     "engine.retrieval",
     "engine.sql5",
     "engine.sinks2",
+    "engine.extras7",
 ]
 
 
