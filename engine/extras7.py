@@ -36,7 +36,7 @@ from engine.tables import load
                AS week_offset
       FROM events e JOIN cohort c ON e.user_id = c.user_id
     )
-    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
            count(*) AS n_users
     FROM activity GROUP BY 1, 2
     """,
@@ -59,7 +59,7 @@ def etl_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "user_id",
-            cohort.cast("date").alias("cohort_week"),
+            cohort.cast("timestamp_ntz").alias("cohort_week"),
             (F.datediff(wk, cohort) / 7).cast("int").alias("week_offset"),
         )
         .distinct()
@@ -211,7 +211,7 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tvf_date_spine",
     oracle="""
     WITH spine AS (
-      SELECT CAST(DATE '1995-01-01' + CAST(i AS INT) AS DATE) AS d
+      SELECT CAST(DATE '1995-01-01' + CAST(i AS INT) AS TIMESTAMP) AS d
       FROM range(92) t(i)
     ),
     daily AS (
@@ -244,7 +244,8 @@ def sql_tvf_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH spine AS (
-          SELECT date_add(DATE '1995-01-01', CAST(id AS INT)) AS d
+          SELECT CAST(date_add(DATE '1995-01-01', CAST(id AS INT))
+                      AS TIMESTAMP_NTZ) AS d
           FROM range(92)
         ),
         daily AS (
