@@ -73,6 +73,7 @@ _OPERATOR_MODULES = [
     "engine.sql5",
     "engine.sinks2",
     "engine.extras7",
+    "engine.extras8",
 ]
 
 
