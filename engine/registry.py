@@ -161,12 +161,15 @@ _ATTEST_FIRST = [
     "fn_mask_pii",
     "fn_aes_roundtrip",
     "sink_compression_codecs",
-    # — 26 never-windowed keys above; 15 of the 32 r05-new keys next
-    # (attested in their birth round). The other 17 r05 keys landed after
+    # — 26 never-windowed keys above; 15 of the r05-new keys next
+    # (attested in their birth round). The other 30 r05 keys landed after
     # the window filled (retrieval/sql5/sinks2 incl. the RAG capstone and
-    # the Python DataSource writer, the UDF/latency/norm/as-of batch, and
-    # the 5 TPC-H shape completions) — the r06 rotation fronts those 17
-    # plus ~33 re-attests. Remaining 9 slots below re-attest the oldest
+    # the Python DataSource writer, the UDF/latency/norm/as-of batch, the
+    # 5 TPC-H shape completions, and extras7/extras8: retention/OHLC/
+    # 2-D histogram/outlier audit/date spine/base64/negative pairs +
+    # SCD2 point-in-time/PIVOT/UNPIVOT clauses/centroid confusion/
+    # regexp_extract_all/Pareto cut) — the r06 rotation fronts those 30
+    # plus ~20 re-attests. Remaining 9 slots below re-attest the oldest
     # (r01) greens, not driver-checked since r01.
     "graph_pagerank_iter",
     "graph_triangle_count",

@@ -314,3 +314,48 @@ def test_asof_tolerance_keeps_range_in_join_condition(spark):
     plan = _plan(spark, "join_asof_tolerance")
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_pointintime_is_equi_join_not_bnlj(spark):
+    """The interval predicate must ride an equi-join on user_id as a
+    residual — never a BroadcastNestedLoopJoin/CartesianProduct (the
+    shape that explodes at fact scale)."""
+    plan = _plan(spark, "join_scd2_pointintime")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_unpivot_clause_is_zero_shuffle_expand(spark):
+    """UNPIVOT must compile to an Expand inside codegen with no Exchange —
+    the melt is row-local."""
+    plan = _plan(spark, "sql_unpivot_clause")
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_histogram_2d_single_exchange_with_partial_agg(spark):
+    """One shuffle, partial aggregation before it (map-side collapse to
+    ≤240 cells per task)."""
+    plan = _plan(spark, "agg_histogram_2d")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_pareto_cut_broadcasts_nation_totals(spark):
+    """The per-nation totals join must broadcast (25 rows at any SF) —
+    the fact-sized side never reshuffles for it."""
+    plan = _plan(spark, "win_pareto_cut")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ohlc_minby_is_partial_aggregable(spark):
+    """min_by/max_by over the (ts, event_id) struct must run as a
+    two-phase hash aggregate (partial + final), not a sort-based plan."""
+    plan = _plan(spark, "etl_ohlc_resample")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
