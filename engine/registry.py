@@ -74,6 +74,7 @@ _OPERATOR_MODULES = [
     "engine.sinks2",
     "engine.extras7",
     "engine.extras8",
+    "engine.extras9",
 ]
 
 
