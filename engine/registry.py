@@ -75,6 +75,7 @@ _OPERATOR_MODULES = [
     "engine.extras7",
     "engine.extras8",
     "engine.extras9",
+    "engine.extras10",
 ]
 
 
