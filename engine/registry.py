@@ -76,6 +76,7 @@ _OPERATOR_MODULES = [
     "engine.extras8",
     "engine.extras9",
     "engine.extras10",
+    "engine.retrieval2",
 ]
 
 
