@@ -77,6 +77,7 @@ _OPERATOR_MODULES = [
     "engine.extras9",
     "engine.extras10",
     "engine.retrieval2",
+    "engine.pipeline2",
 ]
 
 
