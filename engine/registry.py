@@ -78,6 +78,7 @@ _OPERATOR_MODULES = [
     "engine.extras10",
     "engine.retrieval2",
     "engine.pipeline2",
+    "engine.extras11",
 ]
 
 
