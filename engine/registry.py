@@ -79,6 +79,7 @@ _OPERATOR_MODULES = [
     "engine.retrieval2",
     "engine.pipeline2",
     "engine.extras11",
+    "engine.extras12",
 ]
 
 
