@@ -80,6 +80,7 @@ _OPERATOR_MODULES = [
     "engine.pipeline2",
     "engine.extras11",
     "engine.extras12",
+    "engine.udfs2",
 ]
 
 
