@@ -169,14 +169,14 @@ _ATTEST_FIRST = [
     "fn_aes_roundtrip",
     "sink_compression_codecs",
     # — 26 never-windowed keys above; 15 of the r05-new keys next
-    # (attested in their birth round). The other 30 r05 keys landed after
+    # (attested in their birth round). The other ~58 r05 keys landed after
     # the window filled (retrieval/sql5/sinks2 incl. the RAG capstone and
     # the Python DataSource writer, the UDF/latency/norm/as-of batch, the
-    # 5 TPC-H shape completions, and extras7/extras8: retention/OHLC/
-    # 2-D histogram/outlier audit/date spine/base64/negative pairs +
-    # SCD2 point-in-time/PIVOT/UNPIVOT clauses/centroid confusion/
-    # regexp_extract_all/Pareto cut) — the r06 rotation fronts those 30
-    # plus ~20 re-attests. Remaining 9 slots below re-attest the oldest
+    # 5 TPC-H shape completions, extras7-12, retrieval2, capstone #3
+    # pipeline_pretrain_mix, and udfs2) — the r06 rotation fronts 50 of
+    # those (prioritize the capstone, the two textual-clause keys, the
+    # DECIMAL-exact key, and the UDTF table-arg key; the overflow plus
+    # re-attests go to r07). Remaining 9 slots below re-attest the oldest
     # (r01) greens, not driver-checked since r01.
     "graph_pagerank_iter",
     "graph_triangle_count",
