@@ -1,0 +1,146 @@
+"""Repo-wide plan hygiene: build the physical plan of EVERY registered key
+at sf0.001 and assert the global scale invariants — no cartesian product and
+no broadcast-nested-loop join outside the keys that are bounded by design,
+and no row-at-a-time Python eval outside the declared UDF surface.
+
+This is the net under the per-key plan-shape tests: a new key (or a
+regression in an old one) that silently plans a cartesian or drags a Python
+eval into a hot path fails here without anyone having written a named test
+for it.
+
+Keys that execute side effects at build time (streaming harnesses, sink
+round-trips, DDL/catalog keys, iterative algorithms that materialize
+intermediates) are exercised by their own tests and skipped here — plan
+construction alone would run their jobs, and this test is about static
+shape, not execution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+# Families whose query function executes work at call time (streams, writes,
+# DDL, iterative materialization, python-datasource registration) — their
+# plans are asserted in their own named tests instead.
+_SKIP_PREFIXES = (
+    "stream_",
+    "sink_",
+    "scan_csv",  # write-then-read round-trips
+    "scan_orc",
+    "scan_xml",
+    "scan_json",  # writes a JSONL copy first
+    "scan_text",
+    "scan_merge",
+    "scan_python",
+    "scan_recursive_glob",
+    "scan_binary",
+    "scan_partition_prune",
+    "sql_ddl",
+    "sql_cache",
+    "etl_compact_small_files",
+    "etl_partition_overwrite_dynamic",
+    "graph_pagerank",  # iterative: builds via materialized loop
+    "emb_kmeans",
+    "dedup_semdedup",
+    "emb_pca_project",
+    "sql_recursive_cte",
+    "agg_hll_sketch_merge",  # persists sketch tables at build
+    "pipeline_",
+    "join_bucketed",  # bucketed-table write at build
+    "multimodal_decode",
+)
+
+# Keys whose contract IS Python execution — BatchEvalPython/ArrowEvalPython/
+# PythonMapInArrow etc. are expected there.
+_PYTHON_SURFACE = {
+    "udf_python_scalar",
+    "udf_python_arrow_scalar",
+    "udf_pandas_vectorized",
+    "udaf_pandas_group",
+    "udaf_arrow_group",
+    "udtf_python",
+    "udtf_arrow_expand",
+    "udtf_table_argument",
+    "udf_mapinpandas_stream",
+    "multimodal_frame_sample",
+    "multimodal_binary_meta",
+    "multimodal_join",
+    "text_lang_id",
+    "sim_ann_rp_lsh",
+    "sim_ann_ivf",
+    "emb_scalar_quantize",
+    "dedup_near_minhash",
+    "fn_variant_shred",
+}
+
+# Bounded-by-design cross/BNLJ keys.
+_CARTESIAN_OK = {
+    "join_cross",  # region × nation, definitionally bounded
+}
+
+# BNLJ with a documented bounded broadcast side (the docstrings carry the
+# 100 TB replacement: band-join bucketing or index probes).
+_BNLJ_OK = {
+    "join_cross",  # region × nation
+    "join_theta_range",  # supplier (≤1k, catalog-sized) broadcast band join
+    "sim_knn_query",  # 1-row probe broadcast
+    "sim_hybrid_rrf_fusion",  # same probe pattern on the vector side
+    "emb_binary_quantize",  # 1-row global-threshold relation broadcast
+}
+
+
+def _all_keys():
+    from engine.registry import collect
+
+    queries, _ = collect()
+    return queries
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    queries = _all_keys()
+    out = {}
+    for key, fn in queries.items():
+        if key.startswith(_SKIP_PREFIXES):
+            continue
+        df = fn(spark, SF_DIR)
+        out[key] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unbounded_cartesian(plans):
+    bad = []
+    for key, plan in plans.items():
+        if key in _CARTESIAN_OK:
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(key)
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_bnlj_only_with_bounded_sides(plans):
+    """BroadcastNestedLoopJoin is acceptable ONLY when one side is a
+    bounded relation (1-row scalar aggregates, ≤dims-sized inputs). Flag
+    keys where a BNLJ appears without any broadcast-bounded marker."""
+    bad = [
+        key
+        for key, plan in plans.items()
+        if "BroadcastNestedLoopJoin" in plan and key not in _BNLJ_OK
+    ]
+    assert not bad, f"unbounded BNLJ in: {bad}"
+
+
+def test_python_eval_only_in_declared_surface(plans):
+    bad = []
+    for key, plan in plans.items():
+        if key in _PYTHON_SURFACE:
+            continue
+        if "BatchEvalPython" in plan:
+            bad.append(key)
+    assert not bad, f"row-at-a-time Python eval leaked into: {bad}"
+
+
+def test_every_nonskipped_key_has_a_plan(plans):
+    assert len(plans) >= 200, len(plans)
