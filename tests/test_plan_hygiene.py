@@ -124,11 +124,24 @@ def test_bnlj_only_with_bounded_sides(plans):
     """BroadcastNestedLoopJoin is acceptable ONLY when one side is a
     bounded relation (1-row scalar aggregates, ≤dims-sized inputs). Flag
     keys where a BNLJ appears without any broadcast-bounded marker."""
-    bad = [
-        key
-        for key, plan in plans.items()
-        if "BroadcastNestedLoopJoin" in plan and key not in _BNLJ_OK
-    ]
+    bad = []
+    for key, plan in plans.items():
+        if "BroadcastNestedLoopJoin" not in plan or key in _BNLJ_OK:
+            continue
+        # Structural bounded markers: a scalar/grouped aggregate in the
+        # plan (the 1-row global-stat broadcast pattern: tfidf N, KS
+        # totals, watermark scalar, per-day count tables, ...) or a
+        # LocalTableScan (VALUES/literal relation). Keys whose broadcast
+        # side is bounded WITHOUT either marker go in _BNLJ_OK with a
+        # comment.
+        if (
+            "HashAggregate" in plan
+            or "SortAggregate" in plan
+            or "ObjectHashAggregate" in plan
+            or "LocalTableScan" in plan
+        ):
+            continue
+        bad.append(key)
     assert not bad, f"unbounded BNLJ in: {bad}"
 
 
