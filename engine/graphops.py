@@ -268,7 +268,9 @@ def _dot(x: Column, c: Column) -> Column:
 # dedup_semdedup oracle (SemDeDup clusters with the same Lloyd step).
 _KMEANS_CTES = """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, x AS cl FROM emb WHERE vec_id < 4),
+    c0 AS (SELECT vec_id AS cid, x AS cl FROM emb
+           WHERE vec_id < (SELECT least(greatest(4, count(*) // 125), 64)
+                           FROM emb)),
     a1 AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -315,9 +317,19 @@ _ASSIGN_CACHE: dict[tuple, DataFrame] = {}
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Lloyd-step assignment pipeline: (vec_id, cid, d2) after one
-    centroid update from the 4 lowest-vec_id seeds. See emb_kmeans_lloyd
-    for the determinism and 100 TB discussion; dedup_semdedup reuses these
-    clusters as its semantic blocking structure."""
+    centroid update from the k lowest-vec_id seeds, k =
+    clamp(n/125, 4, 64) — cluster sizes stay ~125 as the corpus grows
+    (until the cap), which is what keeps dedup_semdedup's per-cluster
+    pairwise work LINEAR in n instead of quadratic (measured: exponent
+    1.89 → see docs/SCALE.md rehearsal; the k=4 fixed setting let
+    clusters grow with the corpus). Fully relational — centroids are a
+    broadcast relation, not driver-side literals, so there is no collect
+    at any k. Beyond the cap, the 100 TB path swaps exact assignment for
+    IVF-style approximate assignment (sim_ann_ivf's trainer); the cap is
+    what keeps the n×k assignment cost linear here.
+
+    See emb_kmeans_lloyd for the determinism contract; dedup_semdedup
+    reuses these clusters as its semantic blocking structure."""
     ck = (spark, sf_dir)
     cached = _ASSIGN_CACHE.get(ck)
     if cached is not None:
@@ -325,45 +337,58 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    k = 4
-    init = {
-        int(r["vec_id"]): [float(v) for v in r["x"]]
-        for r in emb.filter(F.col("vec_id") < k).collect()  # k rows
-    }
+    krel = emb.agg(
+        F.least(
+            F.greatest(F.lit(4), F.floor(F.count("*") / 125)), F.lit(64)
+        ).alias("k")
+    )
+    c0 = (
+        emb.crossJoin(F.broadcast(krel))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("cl"))
+    )
 
-    def assign(cents: dict[int, list[float]]) -> DataFrame:
-        xx = _dot(F.col("x"), F.col("x"))
-        choices = []
-        for cid in sorted(cents):
-            cl = F.array(*[F.lit(v) for v in cents[cid]])
-            # |c|² as an ordered fold too — must match the oracle's
-            # list_dot_product(cl, cl) evaluation order bit-for-bit.
-            cc = _dot(cl, cl)
-            d2 = xx - 2 * _dot(F.col("x"), cl) + cc
-            choices.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-        best = F.array_min(F.array(*choices))
-        return emb.select(
-            "vec_id",
-            best.getField("cid").alias("cid"),
-            best.getField("d2").alias("d2"),
+    def assign(cents: DataFrame) -> DataFrame:
+        # d2 terms in the oracle's exact order and association:
+        # |x|² − 2·(x·c) + |c|², every dot an ordered fold.
+        d2 = (
+            _dot(F.col("x"), F.col("x"))
+            - 2 * _dot(F.col("x"), F.col("cl"))
+            + _dot(F.col("cl"), F.col("cl"))
+        )
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("s")
+        )
+        # min over (d2, cid) structs ≡ the oracle's row_number ORDER BY
+        # d2, cid — lexicographic struct ordering, partial-aggregable.
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min("s").alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cid"),
+                F.col("b.d2").alias("d2"),
+            )
         )
 
-    a1 = assign(init)
+    a1 = assign(c0)
     c1m = (
         a1.join(emb, "vec_id")
         .select("cid", F.posexplode("x"))
         .groupBy("cid", "pos")
         .agg(F.round(F.avg("col"), 8).alias("v"))
-        .collect()  # bounded: k×d rows (256 doubles)
     )
-    upd: dict[int, dict[int, float]] = {}
-    for r in c1m:
-        upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["v"])
-    cents1 = {
-        cid: [upd[cid][p] for p in sorted(upd[cid])] if cid in upd else init[cid]
-        for cid in init
-    }
-    out = assign(cents1)
+    rebuilt = c1m.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s.getField("v"),
+        ).alias("cl_new")
+    )
+    c1 = (
+        c0.join(rebuilt, "cid", "left")
+        .select("cid", F.coalesce(F.col("cl_new"), F.col("cl")).alias("cl"))
+    )
+    out = assign(c1)
     _ASSIGN_CACHE[ck] = out
     return out
 
@@ -378,21 +403,22 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One full Lloyd iteration of k-means (k=4) plus re-assignment, fully
-    deterministic: init centroids = the 4 lowest vec_ids; assignment =
-    argmin squared distance (|x|² − 2x·c + |c|², dot products as ordered
-    folds; ties broken by lowest cluster id); update = per-(cluster, dim)
-    mean rounded to 8 dp on both engines (re-synchronizes the
-    order-dependent sum); empty clusters keep their previous centroid.
-    Output: per-cluster membership count + inertia.
+    """One full Lloyd iteration of k-means plus re-assignment, fully
+    deterministic: k = clamp(n/125, 4, 64); init centroids = the k lowest
+    vec_ids; assignment = argmin squared distance (|x|² − 2x·c + |c|²,
+    dot products as ordered folds; ties broken by lowest cluster id);
+    update = per-(cluster, dim) mean rounded to 8 dp on both engines
+    (re-synchronizes the order-dependent sum); empty clusters keep their
+    previous centroid. Output: per-cluster membership count + inertia.
 
-    100 TB: the canonical broadcast-centroids shape — assignment is a
-    map-side expression against k·d literals (no shuffle), the update is
-    ONE shuffle keyed (cluster, dim) with partial aggregation, and the
-    only driver state is the k×d centroid matrix (256 doubles; one
-    bounded collect per iteration). More iterations = a Python loop over
-    the same two steps; nothing grows with corpus size. The assignment
-    pipeline lives in kmeans_assign (shared with dedup_semdedup)."""
+    100 TB: the canonical broadcast-centroids shape — centroids are a
+    broadcast RELATION (zero driver state, no collect at any k), the
+    assignment a map-side fold against it, the update ONE shuffle keyed
+    (cluster, dim) with partial aggregation. More iterations = a Python
+    loop over the same two steps; nothing grows with corpus size. The
+    assignment pipeline lives in kmeans_assign (shared with
+    dedup_semdedup, where the scaled k is what keeps pairwise dedup
+    linear — measured in docs/SCALE.md's rehearsal)."""
     a2 = kmeans_assign(spark, sf_dir)
     return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_members"), F.round(F.sum("d2"), 2).alias("inertia")

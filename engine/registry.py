@@ -81,6 +81,7 @@ _OPERATOR_MODULES = [
     "engine.extras11",
     "engine.extras12",
     "engine.udfs2",
+    "engine.extras13",
 ]
 
 
