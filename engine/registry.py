@@ -82,6 +82,7 @@ _OPERATOR_MODULES = [
     "engine.extras12",
     "engine.udfs2",
     "engine.extras13",
+    "engine.extras14",
 ]
 
 
