@@ -283,10 +283,13 @@ def test_pagerank_iterations_reuse_cached_edges(spark):
 
 def test_semdedup_join_has_no_broadcast_matrix_or_cartesian(spark):
     """SemDeDup's verify stage must be a keyed cluster join — no
-    cartesian product, no nested loop over a broadcast matrix."""
+    cartesian product, and the PAIRWISE stage must shuffle on cid (the
+    blocking structure). BNLJ is now present but only as the bounded
+    broadcast-centroid assignment (k ≤ 64 rows — the relational k-means
+    shape), never as the pair matrix."""
     plan = _plan(spark, "dedup_semdedup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(cid" in plan, plan
 
 
 def test_bm25_is_single_stats_broadcast_over_map(spark):
