@@ -83,6 +83,8 @@ _OPERATOR_MODULES = [
     "engine.udfs2",
     "engine.extras13",
     "engine.extras14",
+    "engine.extras15",
+    "engine.extras16",
 ]
 
 
