@@ -134,11 +134,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop join. This formulation is explode -> partial-agg ->
     equi-join: every stage hash-partitions, the 100 TB shape.
     """
+    return minhash_near_pairs(load(spark, sf_dir, "documents")).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def minhash_near_pairs(d: DataFrame) -> DataFrame:
+    """The MinHash-LSH near-duplicate pair kernel behind dedup_near_minhash,
+    factored over an arbitrary (doc_id, text, ...) relation so composed
+    pipelines (pipeline_dedup_cascade) can run it on an intermediate stage's
+    survivors instead of the raw documents table. Returns unordered
+    (a_id, b_id, jaccard_dist<=0.6) with dist rounded to 4. Full design
+    rationale + measured numbers: dedup_near_minhash's docstring above."""
     n_perm, p = 32, 2147483647  # 16 bands x r=2; p = 2^31-1 (no i64 overflow)
     bucket_cap = 50
     from engine.textops import explode_nonempty, spread_cpu
-
-    d = load(spark, sf_dir, "documents")
     # Shingles are hashed INSIDE the transform (h0 = xxhash64 of the 5-gram)
     # so only int64s are deduped/exploded/shuffled — the strings never leave
     # the lambda; int64 set ops in the exact-Jaccard verify step are ~10x
@@ -239,7 +249,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "b_id")
         .filter(dist <= 0.6)
         .select("a_id", "b_id", F.round(dist, 4).alias("jaccard_dist"))
-        .orderBy("a_id", "b_id")
     )
 
 

@@ -85,6 +85,7 @@ _OPERATOR_MODULES = [
     "engine.extras14",
     "engine.extras15",
     "engine.extras16",
+    "engine.pipeline3",
 ]
 
 
