@@ -86,6 +86,7 @@ _OPERATOR_MODULES = [
     "engine.extras15",
     "engine.extras16",
     "engine.pipeline3",
+    "engine.extras17",
 ]
 
 
