@@ -87,6 +87,7 @@ _OPERATOR_MODULES = [
     "engine.extras16",
     "engine.pipeline3",
     "engine.extras17",
+    "engine.extras18",
 ]
 
 
