@@ -88,6 +88,7 @@ _OPERATOR_MODULES = [
     "engine.pipeline3",
     "engine.extras17",
     "engine.extras18",
+    "engine.extras19",
 ]
 
 
@@ -176,15 +177,17 @@ _ATTEST_FIRST = [
     "fn_aes_roundtrip",
     "sink_compression_codecs",
     # — 26 never-windowed keys above; 15 of the r05-new keys next
-    # (attested in their birth round). The other ~58 r05 keys landed after
+    # (attested in their birth round). The other ~100 r05 keys landed after
     # the window filled (retrieval/sql5/sinks2 incl. the RAG capstone and
     # the Python DataSource writer, the UDF/latency/norm/as-of batch, the
-    # 5 TPC-H shape completions, extras7-12, retrieval2, capstone #3
-    # pipeline_pretrain_mix, and udfs2) — the r06 rotation fronts 50 of
-    # those (prioritize the capstone, the two textual-clause keys, the
-    # DECIMAL-exact key, and the UDTF table-arg key; the overflow plus
-    # re-attests go to r07). Remaining 9 slots below re-attest the oldest
-    # (r01) greens, not driver-checked since r01.
+    # 5 TPC-H shape completions, extras7-18, retrieval2, capstones #3/#4
+    # pipeline_pretrain_mix / pipeline_dedup_cascade, and udfs2) — the r06
+    # rotation fronts 50 of those (prioritize the two capstones, the two
+    # textual-clause keys, the DECIMAL-exact key, the UDTF table-arg key,
+    # and the batch 15-18 keys driver_sim has already re-verified this
+    # round; the overflow plus re-attests go to r07). Remaining 9 slots
+    # below re-attest the oldest (r01) greens, not driver-checked since
+    # r01.
     "graph_pagerank_iter",
     "graph_triangle_count",
     "graph_degree_distribution",
