@@ -89,6 +89,7 @@ _OPERATOR_MODULES = [
     "engine.extras17",
     "engine.extras18",
     "engine.extras19",
+    "engine.extras20",
 ]
 
 
