@@ -90,6 +90,7 @@ _OPERATOR_MODULES = [
     "engine.extras18",
     "engine.extras19",
     "engine.extras20",
+    "engine.pipeline4",
 ]
 
 
