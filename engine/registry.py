@@ -91,6 +91,7 @@ _OPERATOR_MODULES = [
     "engine.extras19",
     "engine.extras20",
     "engine.pipeline4",
+    "engine.extras21",
 ]
 
 
