@@ -92,6 +92,7 @@ _OPERATOR_MODULES = [
     "engine.extras20",
     "engine.pipeline4",
     "engine.extras21",
+    "engine.streaming2",
 ]
 
 
