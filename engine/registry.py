@@ -93,6 +93,7 @@ _OPERATOR_MODULES = [
     "engine.pipeline4",
     "engine.extras21",
     "engine.streaming2",
+    "engine.extras22",
 ]
 
 
