@@ -94,6 +94,7 @@ _OPERATOR_MODULES = [
     "engine.extras21",
     "engine.streaming2",
     "engine.extras22",
+    "engine.extras23",
 ]
 
 
