@@ -95,6 +95,7 @@ _OPERATOR_MODULES = [
     "engine.streaming2",
     "engine.extras22",
     "engine.extras23",
+    "engine.extras24",
 ]
 
 
@@ -183,17 +184,21 @@ _ATTEST_FIRST = [
     "fn_aes_roundtrip",
     "sink_compression_codecs",
     # — 26 never-windowed keys above; 15 of the r05-new keys next
-    # (attested in their birth round). The other ~100 r05 keys landed after
+    # (attested in their birth round). The other ~140 r05 keys landed after
     # the window filled (retrieval/sql5/sinks2 incl. the RAG capstone and
     # the Python DataSource writer, the UDF/latency/norm/as-of batch, the
-    # 5 TPC-H shape completions, extras7-18, retrieval2, capstones #3/#4
-    # pipeline_pretrain_mix / pipeline_dedup_cascade, and udfs2) — the r06
-    # rotation fronts 50 of those (prioritize the two capstones, the two
-    # textual-clause keys, the DECIMAL-exact key, the UDTF table-arg key,
-    # and the batch 15-18 keys driver_sim has already re-verified this
-    # round; the overflow plus re-attests go to r07). Remaining 9 slots
-    # below re-attest the oldest (r01) greens, not driver-checked since
-    # r01.
+    # 5 TPC-H shape completions, extras7-23, retrieval2, streaming2's
+    # EventTimeTimeout, capstones #3/#4/#5 pipeline_pretrain_mix /
+    # pipeline_dedup_cascade / pipeline_ann_index_build, and udfs2) — the
+    # r06 rotation fronts 50 of those (prioritize the three capstones,
+    # stream_event_time_timeout, the two textual-clause keys, the
+    # DECIMAL-exact key, the UDTF table-arg key, and the optimizer trio
+    # join_dynamic_partition_prune / plan_analyze_stats /
+    # plan_exchange_reuse; the overflow plus re-attests go to r07). Every
+    # key registered this round was additionally verified against the
+    # vanilla-session driver simulator at sf0.01 (scripts/driver_sim.py)
+    # before its commit. Remaining 9 slots below re-attest the oldest
+    # (r01) greens, not driver-checked since r01.
     "graph_pagerank_iter",
     "graph_triangle_count",
     "graph_degree_distribution",
