@@ -96,6 +96,7 @@ _OPERATOR_MODULES = [
     "engine.extras22",
     "engine.extras23",
     "engine.extras24",
+    "engine.pipeline5",
 ]
 
 
