@@ -97,6 +97,7 @@ _OPERATOR_MODULES = [
     "engine.extras23",
     "engine.extras24",
     "engine.pipeline5",
+    "engine.extras25",
 ]
 
 
