@@ -98,6 +98,7 @@ _OPERATOR_MODULES = [
     "engine.extras24",
     "engine.pipeline5",
     "engine.extras25",
+    "engine.extras26",
 ]
 
 
