@@ -99,6 +99,7 @@ _OPERATOR_MODULES = [
     "engine.pipeline5",
     "engine.extras25",
     "engine.extras26",
+    "engine.extras27",
 ]
 
 
