@@ -100,6 +100,7 @@ _OPERATOR_MODULES = [
     "engine.extras25",
     "engine.extras26",
     "engine.extras27",
+    "engine.extras28",
 ]
 
 
