@@ -1,0 +1,118 @@
+"""Extras batch 29 module (r05 continuation): near-duplicate pair
+explainability.
+
+SURVEY §2 family extended: §2.I — the audit view over dedup decisions.
+Pipelines that DELETE data need to show their work: for every near-dup
+pair the kernel flags, emit the evidence a reviewer would ask for
+(similarity, length ratio, containment, the planted shared-prefix
+marker), so threshold tuning and spot audits read a table instead of
+re-running ad-hoc comparisons.
+
+Determinism discipline (SURVEY §5.3): all evidence columns are exact
+integer/set arithmetic over the texts; ratios rounded once; pair identity
+ordered (a_id < b_id) by the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.tables import load
+
+
+@query(
+    "dedup_pair_explain",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
+      FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id, i, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sz sa ON sa.doc_id = a_id
+      JOIN sz sb ON sb.doc_id = b_id
+      WHERE 1.0 - i / CAST(sa.n + sb.n - i AS DOUBLE) <= 0.6
+    )
+    SELECT p.a_id, p.b_id,
+           round(1.0 - p.i / CAST(p.na + p.nb - p.i AS DOUBLE), 4)
+             AS jaccard_dist,
+           round(CAST(least(length(da.text), length(db.text)) AS DOUBLE)
+                 / greatest(length(da.text), length(db.text)), 4) AS len_ratio,
+           round(p.i / CAST(least(p.na, p.nb) AS DOUBLE), 4) AS containment,
+           (substring(da.text, 1, 40) = substring(db.text, 1, 40))
+             AS prefix40_equal
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    """,
+)
+def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair explainability: every pair the MinHash kernel flags
+    (dedup_near_minhash, shared kernel) joined back to its texts and
+    annotated with the reviewer's evidence — exact shingle Jaccard
+    distance, length ratio, shingle CONTAINMENT (intersection over the
+    smaller set: high containment at moderate Jaccard = one doc embeds
+    the other, a different dedup decision than two co-edited variants),
+    and the 40-char shared-prefix marker this corpus's planted near-dups
+    carry [DATA].
+
+    Plan: the kernel's capped-bucket candidate generation bounds the
+    pair set; the explain join touches only pair-participant texts (two
+    hash joins on doc_id). 100 TB: audit tables like this are the
+    governance artifact dedup ships with — attrition manifests say HOW
+    MANY (pipeline_dedup_cascade), this says WHY each."""
+    from engine.llmops import minhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_near_pairs(d.select("doc_id", "text"))
+    # shingle-set sizes for containment: recompute per side from the text
+    # (cheap, pair-bounded) rather than threading internals out of the
+    # kernel.
+    shingle_set = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> substring(text, i, 5)))"
+    )
+    sides = d.select(
+        "doc_id",
+        shingle_set.alias("sh"),
+        F.length("text").alias("len"),
+        F.substring("text", 1, 40).alias("p40"),
+    )
+    a = sides.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sha"),
+        F.col("len").alias("la"),
+        F.col("p40").alias("pa"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("shb"),
+        F.col("len").alias("lb"),
+        F.col("p40").alias("pb"),
+    )
+    j = pairs.join(a, "a_id").join(b, "b_id")
+    # EXACT intersection per pair (pair-bounded work) — deriving i back
+    # from the ROUNDED distance would carry up to (na+nb)*5e-5 ≈ 0.1
+    # shingles of error, enough to flip containment's 4-dp rounding.
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    return j.select(
+        "a_id",
+        "b_id",
+        "jaccard_dist",
+        F.round(
+            F.least("la", "lb").cast("double") / F.greatest("la", "lb"), 4
+        ).alias("len_ratio"),
+        F.round(
+            inter / F.least(F.size("sha"), F.size("shb")).cast("double"), 4
+        ).alias("containment"),
+        (F.col("pa") == F.col("pb")).alias("prefix40_equal"),
+    )

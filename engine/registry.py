@@ -101,6 +101,7 @@ _OPERATOR_MODULES = [
     "engine.extras26",
     "engine.extras27",
     "engine.extras28",
+    "engine.extras29",
 ]
 
 
