@@ -102,6 +102,7 @@ _OPERATOR_MODULES = [
     "engine.extras27",
     "engine.extras28",
     "engine.extras29",
+    "engine.extras30",
 ]
 
 
