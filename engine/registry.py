@@ -103,6 +103,7 @@ _OPERATOR_MODULES = [
     "engine.extras28",
     "engine.extras29",
     "engine.extras30",
+    "engine.extras31",
 ]
 
 
