@@ -104,6 +104,7 @@ _OPERATOR_MODULES = [
     "engine.extras29",
     "engine.extras30",
     "engine.extras31",
+    "engine.extras32",
 ]
 
 
