@@ -105,6 +105,7 @@ _OPERATOR_MODULES = [
     "engine.extras30",
     "engine.extras31",
     "engine.extras32",
+    "engine.extras33",
 ]
 
 
