@@ -106,6 +106,7 @@ _OPERATOR_MODULES = [
     "engine.extras31",
     "engine.extras32",
     "engine.extras33",
+    "engine.extras34",
 ]
 
 
