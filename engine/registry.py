@@ -107,6 +107,7 @@ _OPERATOR_MODULES = [
     "engine.extras32",
     "engine.extras33",
     "engine.extras34",
+    "engine.pipeline6",
 ]
 
 
