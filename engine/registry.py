@@ -108,6 +108,7 @@ _OPERATOR_MODULES = [
     "engine.extras33",
     "engine.extras34",
     "engine.pipeline6",
+    "engine.extras35",
 ]
 
 
