@@ -109,6 +109,7 @@ _OPERATOR_MODULES = [
     "engine.extras34",
     "engine.pipeline6",
     "engine.extras35",
+    "engine.extras36",
 ]
 
 
