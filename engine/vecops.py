@@ -209,28 +209,48 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bucket_list.append(home)
                 for b in range(bits):
                     bucket_list.append(home ^ (1 << b))
-            yield pd.DataFrame(
-                {
-                    "bucket": np.concatenate(bucket_list),
-                    "vec_id": np.tile(v_ids, n_tables * (bits + 1)),
-                }
+            buckets = np.concatenate(bucket_list)
+            ids = np.tile(v_ids, n_tables * (bits + 1))
+            # Per-batch pre-cap: keep at most bucket_cap+1 members of any
+            # bucket from this batch. Decision-preserving: if a bucket's
+            # TRUE total is <= cap no batch ever trims it (collected size
+            # = true size); if the total exceeds the cap the collected
+            # size still reaches >= cap+1 (either some batch trimmed, or
+            # none did and the full total arrives), so the downstream size
+            # filter drops it either way. This bounds the collect_list
+            # group for a degenerate bucket (identical vectors) to
+            # #batches*(cap+1) ids instead of |bucket|.
+            order = np.argsort(buckets, kind="stable")
+            sb = buckets[order]
+            run_start = np.where(
+                np.concatenate(([True], sb[1:] != sb[:-1])), np.arange(len(sb)), 0
             )
+            cumcount = np.arange(len(sb)) - np.maximum.accumulate(run_start)
+            keep = order[cumcount <= bucket_cap]
+            yield pd.DataFrame({"bucket": buckets[keep], "vec_id": ids[keep]})
 
     from engine.textops import spread_cpu
 
     sigs = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInPandas(
         signatures, "bucket long, vec_id long"
     )
-    sigs = (
-        sigs.withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
-        .filter(F.col("bsz") <= bucket_cap)
-        .drop("bsz")
-    )
+    # Candidate generation in ONE shuffle of the signature explosion:
+    # groupBy(bucket) -> collect_list, drop oversized buckets by array
+    # size (the non-discriminative-bucket guard — same semantics as r05's
+    # window count thanks to the decision-preserving per-batch pre-cap in
+    # the generator above, which also bounds the collected group for a
+    # degenerate bucket), then emit pairs with a double explode. The r05
+    # shape (window count for the cap, then a bucket self-equi-join)
+    # shuffled the L*(1+b)*n rows AND sorted them for the window; this
+    # shape does the same Σ_b min(|b|,cap)² pair work with no sort and no
+    # join (r06 quiet-host: 2.15 s -> ~1.8 s at sf0.1).
     cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        sigs.groupBy("bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") <= bucket_cap)
+        .select(F.explode("ids").alias("a_id"), F.col("ids"))
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
 
