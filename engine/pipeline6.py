@@ -19,6 +19,67 @@ from engine.registry import query
 from engine.tables import load
 
 
+# Above this many within-new near-dup pairs, components run distributed
+# (Pregel min-label) instead of as a driver-side union-find. A typical
+# refresh yields tens of pairs, but a pathological batch (recrawl of a
+# mirror site) can produce O(batch²) pairs that would OOM the driver if
+# collected — the guard makes the capstone total-safe at any batch shape.
+_UNION_FIND_MAX_PAIRS = 100_000
+
+
+def _within_new_losers(
+    spark: SparkSession, nn: DataFrame, *, force_distributed: bool = False
+) -> DataFrame:
+    """Connected components over the within-new near-dup pairs (columns
+    a_id, b_id), returning the LOSERS (every member except the min-id
+    keeper of its component) as a doc_id DataFrame.
+
+    Two paths with identical keeper semantics, chosen by pair count:
+    small graphs collect once into a driver union-find (path-halving;
+    cheaper than 1+ distributed rounds when the pair list is KBs); past
+    _UNION_FIND_MAX_PAIRS the pairs are never collected — the shared
+    Pregel min-label kernel (engine.trainext.min_label_components, the
+    dedup_cluster_components engine) labels them in O(diameter) shuffles.
+    The count() that picks the path reads the localCheckpoint'd pair list,
+    so it costs one bounded job, not a plan re-execution."""
+    if not force_distributed and nn.count() <= _UNION_FIND_MAX_PAIRS:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in nn.collect():
+            a, b = r["a_id"], r["b_id"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        losers = [x for x in parent if find(x) != x]
+        if losers:
+            return spark.createDataFrame([(x,) for x in losers], "doc_id long")
+        return spark.createDataFrame([], "doc_id long")
+
+    from engine.trainext import min_label_components
+
+    edges = nn.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(nn.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    # Only pair participants can lose; singletons keep themselves trivially.
+    nodes = (
+        nn.select(F.col("a_id").alias("node"))
+        .union(nn.select(F.col("b_id").alias("node")))
+        .distinct()
+    )
+    labels = min_label_components(edges, nodes)
+    return labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+
+
 @query(
     "pipeline_incremental_refresh",
     # FULL oracle under the kernel's recall-1.0 contract (see
@@ -154,36 +215,7 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(new2_ids, pairs["a_id"] == new2_ids["doc_id"], "left_semi")
         .join(new2_ids, pairs["b_id"] == new2_ids["doc_id"], "left_semi")
     )
-    # The within-new pair list is BOUNDED by the batch's near-dup rate
-    # (tens of rows here; KBs at any realistic refresh), so components run
-    # as a driver-side union-find on the already-materialized pairs — a
-    # bounded collect, not a distributed loop. For giant pair graphs the
-    # Pregel min-label loop (dedup_cluster_components / the cascade
-    # capstone) is the drop-in replacement with identical keeper
-    # semantics.
-    nn_rows = nn.collect()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in nn_rows:
-        a, b = r["a_id"], r["b_id"]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    losers = [x for x in parent if find(x) != x]
-    if losers:
-        within_drop = spark.createDataFrame(
-            [(x,) for x in losers], "doc_id long"
-        )
-    else:
-        within_drop = spark.createDataFrame([], "doc_id long")
+    within_drop = _within_new_losers(spark, nn.select("a_id", "b_id"))
 
     # Manifest: classify every arrival exactly once.
     tag = (

@@ -20,6 +20,52 @@ CHUNK = 32  # tokens per chunk
 STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
 
 
+def min_label_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    broadcast_edges: bool = False,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Pregel-style min-label propagation: connected components over
+    ``edges`` (columns src, dst — one row per directed edge; callers pass
+    the symmetrized graph) for ``nodes`` (column node), returning
+    (node, label) with label = min node id in the component.
+
+    Shared kernel for dedup_cluster_components and the large-batch path of
+    pipeline_incremental_refresh. Rounds = graph diameter; each round is
+    one shuffle on node id and the convergence probe collects ONE scalar
+    (sum of labels — monotonically decreasing integers, so an unchanged
+    sum ⇔ fixpoint), never row data. ``broadcast_edges`` is for callers
+    whose edge list is known tiny (post-aggregation vocab graphs); the
+    default shuffles the join, which is the 100 TB-safe shape."""
+    if broadcast_edges:
+        edges = F.broadcast(edges.cache())
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    prev_sum = None
+    for _ in range(max_rounds):  # hard bound >> any real diameter
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()  # truncate the growing iterative lineage
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 @query(
     "text_chunk_overlap",
     oracle=f"""
@@ -296,30 +342,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-band equi-join used by dedup_fuzzy_edit. Edges are tiny either
     # way, so they are collected-free and broadcast below.
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und = F.broadcast(und.cache())
-
-    labels = vocab.select(F.col("rep_key").alias("node"), F.col("rep_key").alias("label"))
-    prev_sum = None
-    for _ in range(32):  # hard bound >> any real diameter; loop exits at fixpoint
-        msgs = (
-            und.join(labels, und.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()  # truncate the growing iterative lineage
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = min_label_components(
+        und,
+        vocab.select(F.col("rep_key").alias("node")),
+        broadcast_edges=True,  # post-aggregation vocab graph — tiny by construction
+    )
     return (
         vocab.join(labels, vocab.rep_key == labels.node)
         .select("p_name", "rep_key", F.col("label").alias("cluster_id"))
