@@ -329,7 +329,21 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/cur").orderBy("user_id")
 
 
-@query("scan_binary_files")  # ROWS: binaryFile source metadata is engine-defined
+@query(
+    "scan_binary_files",
+    # FULL oracle (r06 graduation from ROWS-only): DuckDB's read_blob()
+    # reads the same files byte-for-byte — name, size, and the first 4
+    # payload bytes (hex) are all independently recomputable. The path is
+    # sf0.01-bound because oracle strings are static and the driver runs
+    # them at sf=0.01 only (driver contract; driver_sim at another SF
+    # would need the matching dir).
+    oracle="""
+    SELECT parse_filename(filename) AS name,
+           CAST(size AS BIGINT) AS length,
+           substring(hex(content), 1, 8) AS head_hex
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-file ingestion (spark.read.format('binaryFile')): how opaque
     image/audio/video payloads enter a multimodal pipeline — one row per

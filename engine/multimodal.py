@@ -97,16 +97,15 @@ def _decode_fake(buf: "bytes", n_cells: int) -> "list[float]":
     return np.round(a.reshape(n_cells, -1).mean(axis=1), 4).tolist()
 
 
-@query("multimodal_decode_pipeline")  # ROWS: fake decode is not SQL math
-def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary payloads with ``mapInPandas``:
     each Arrow batch of (doc_id, payload, meta) rows yields (doc_id, width,
-    height, features) — the real-decoder signature, minus the absent codec
-    libs (see _decode_real). Feature = 4×4 byte-block-mean 'thumbnail',
-    deterministic so the driver's rows-only check is stable. The feature
-    vector is emitted as a fixed-format CSV string, not array<float>: the
-    driver's canonicalizer sorts result columns with pandas, which cannot
-    order array cells (scalar-columns-only output convention)."""
+    height, n_bytes, features) — the real-decoder signature, minus the
+    absent codec libs (see _decode_real). Feature = 4×4 byte-block-mean
+    'thumbnail', deterministic. The feature vector is emitted as a
+    fixed-format CSV string, not array<float>: the driver's canonicalizer
+    sorts result columns with pandas, which cannot order array cells
+    (scalar-columns-only output convention)."""
     import pandas as pd
 
     b = binary_table(spark, sf_dir)
@@ -122,12 +121,57 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pb["doc_id"],
                     "width": THUMB,
                     "height": THUMB,
+                    "n_bytes": [len(buf) for buf in pb["payload"]],
                     "features": feats,
                 }
             )
 
     return b.mapInPandas(
-        decode, "doc_id long, width int, height int, features string"
+        decode, "doc_id long, width int, height int, n_bytes long, features string"
+    )
+
+
+@query(
+    "multimodal_decode_pipeline",
+    # FULL oracle (r06 graduation from ROWS-only, the r04 self-validating
+    # pattern): the decoded features are pinned per doc by an INTEGER-exact
+    # reconstruction — Σ(block means) × block_len equals the payload's
+    # total byte sum, which DuckDB recomputes independently from the text's
+    # code points (corpus is ASCII: octet_length == length repo-wide, so
+    # unicode(char) == byte value). A regression anywhere in the decode
+    # (batching, padding, block split, mean) shifts byte_sum and
+    # hash-mismatches. Full 16-cell feature vectors stay covered by
+    # tests/test_trainops.py against decode_features().
+    oracle=f"""
+    SELECT doc_id,
+           {THUMB} AS width, {THUMB} AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(split(text, ''), c -> unicode(c)))
+                AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating per-doc summary over the decode pipeline (see
+    decode_features for the mapInPandas decode itself): the 16 decoded
+    block means are parsed back from the CSV JVM-side and folded into the
+    payload's reconstructed byte total — round(Σ features × block_len),
+    integer-exact because the 4-decimal feature rounding bounds the error
+    by 16·5e-5·block_len < 0.5 for any payload under ~600 KB (corpus docs
+    are <1 KB; a real thumbnail pipeline keeps cells ∝ payload anyway)."""
+    d = decode_features(spark, sf_dir)
+    block_len = F.ceil(F.col("n_bytes") / F.lit(THUMB * THUMB)).cast("long")
+    feat_sum = F.aggregate(
+        F.transform(F.split("features", ","), lambda s: s.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(feat_sum * block_len).cast("long").alias("byte_sum"),
     ).orderBy("doc_id")
 
 

@@ -3,7 +3,8 @@ builders and their DuckDB oracle SQL.
 
 Every operator module registers via the ``@query`` decorator; ``collect()``
 imports all operator modules and returns the populated maps. Keys without an
-oracle get the driver's weaker rows-only check (SURVEY.md §2: 7 ROWS keys).
+oracle get the driver's weaker rows-only check (none since the r06
+graduations — every registered key now carries a FULL oracle).
 """
 
 from __future__ import annotations
@@ -162,81 +163,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the 26 r04-registered keys never in any driver window, which completes
 # 220/220 cumulative attestation, plus re-attests of the oldest r01
 # greens filling the remaining slots.
+# r06 window: 48 of the 129 keys that have never appeared in any driver
+# CORRECTNESS file (VERDICT r05 item 1 — rotation coverage IS the round's
+# deliverable), prioritized exactly as the r05 registry comment planned:
+# all six pipeline capstones, the streaming state keys, the DECIMAL-exact
+# key, the UDF/UDTF batch, the optimizer trio, the PIVOT/UNPIVOT clauses,
+# the five adapted TPC-H shapes, then the largest never-attested families
+# (text analysis, dedup/embedding, scans). The final 2 slots attest the
+# r06 ROWS->FULL graduations (multimodal_decode_pipeline,
+# scan_binary_files) so their first hash-match rows land on driver record.
+# The remaining 81 never-attested keys go to the r07 window (50) and the
+# r08 window head (31) — all of them stay covered every round by the
+# sf0.001 pytest oracle layer and scripts/driver_sim.py at sf0.01.
 _ATTEST_FIRST = [
-    # datapipe (never windowed)
-    "text_perplexity_ngram",
-    "text_zipf_fit",
-    "sample_reservoir_group",
-    "fn_url_parse",
-    "agg_quantile_bins",
-    "emb_matryoshka_truncate",
-    # scaleops (never windowed)
-    "agg_weighted_percentile",
-    "emb_binary_quantize",
-    "etl_compact_small_files",
-    "win_gaps_islands",
-    # timeseries (never windowed)
-    "win_ewma_smoothing",
-    "etl_gap_fill_interpolate",
-    # extras4 (never windowed)
-    "fn_xml_extract",
-    "agg_skew_kurtosis",
-    "scan_python_stream_source",
-    # extras5 (never windowed)
-    "udaf_arrow_group",
-    "fn_explode_outer_structs",
-    "join_null_safe_eq",
-    # pipeline capstone (never windowed)
-    "pipeline_corpus_datasheet",
-    # catalogops (never windowed)
-    "sql_ddl_insert_view",
-    "sql_cache_table",
-    "sql_parameterized_exec",
-    "join_lateral_topk",
-    # governance (never windowed)
-    "fn_mask_pii",
-    "fn_aes_roundtrip",
-    "sink_compression_codecs",
-    # — 26 never-windowed keys above; 15 of the r05-new keys next
-    # (attested in their birth round). The other ~140 r05 keys landed after
-    # the window filled (retrieval/sql5/sinks2 incl. the RAG capstone and
-    # the Python DataSource writer, the UDF/latency/norm/as-of batch, the
-    # 5 TPC-H shape completions, extras7-23, retrieval2, streaming2's
-    # EventTimeTimeout, capstones #3/#4/#5 pipeline_pretrain_mix /
-    # pipeline_dedup_cascade / pipeline_ann_index_build, and udfs2) — the
-    # r06 rotation fronts 50 of those (prioritize the three capstones,
-    # stream_event_time_timeout, the two textual-clause keys, the
-    # DECIMAL-exact key, the UDTF table-arg key, and the optimizer trio
-    # join_dynamic_partition_prune / plan_analyze_stats /
-    # plan_exchange_reuse; the overflow plus re-attests go to r07). Every
-    # key registered this round was additionally verified against the
-    # vanilla-session driver simulator at sf0.01 (scripts/driver_sim.py)
-    # before its commit. Remaining 9 slots below re-attest the oldest
-    # (r01) greens, not driver-checked since r01.
-    "graph_pagerank_iter",
-    "graph_triangle_count",
-    "graph_degree_distribution",
-    "emb_kmeans_lloyd",
-    "dedup_cross_source",
-    "dedup_paragraph_chunks",
-    "text_quality_logreg",
-    "sample_temperature",
-    "agg_entropy_token",
-    "win_anomaly_zscore",
-    "scan_csv_multiline_quoted",
-    "agg_bitmap_distinct",
-    "dedup_semdedup",
-    "agg_ks_drift",
-    "etl_validate_fk_staging",
-    "scan_parquet",
-    "scan_partition_prune",
-    "filter_null_3vl",
-    "join_inner_equi",
-    "join_asof",
-    "join_star_multiway",
-    "sort_multi_nulls",
-    "agg_group_hash",
-    "agg_percentile",
+    # pipeline capstones (none ever windowed)
+    "pipeline_pretrain_mix",
+    "pipeline_dedup_cascade",
+    "pipeline_ann_index_build",
+    "pipeline_rag_index",
+    "pipeline_stream_serving",
+    "pipeline_incremental_refresh",
+    # streaming state machines
+    "stream_event_time_timeout",
+    "stream_checkpoint_exactly_once",
+    # exact-decimal aggregation
+    "agg_decimal_exact",
+    # UDF/UDTF surface
+    "udtf_table_argument",
+    "udf_mapinpandas_stream",
+    "udf_python_arrow_scalar",
+    # optimizer trio
+    "join_dynamic_partition_prune",
+    "plan_analyze_stats",
+    "plan_exchange_reuse",
+    # SQL PIVOT/UNPIVOT clauses
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    # adapted TPC-H shapes (q1-q22 closure keys registered late-r05)
+    "tpch_q2_min_cost_adapted",
+    "tpch_q11_important_stock_adapted",
+    "tpch_q12_late_shipping_adapted",
+    "tpch_q20_excess_supplier_adapted",
+    "tpch_q21_waiting_adapted",
+    # text-analysis family
+    "text_bm25_rank",
+    "text_ngram_novelty",
+    "text_cooccurrence_pmi",
+    "text_gopher_quality_rules",
+    "text_html_strip",
+    "text_top_bigrams_per_lang",
+    "text_chat_template_render",
+    "text_hapax_ratio",
+    "text_source_vocab_jaccard",
+    "text_eval_token_f1",
+    # dedup / embedding family
+    "dedup_pair_explain",
+    "dedup_exact_embedding",
+    "emb_random_projection_jl",
+    "emb_norm_profile",
+    "emb_outlier_distance",
+    "emb_isotropy_audit",
+    # similarity-search evaluation
+    "sim_hybrid_rrf_fusion",
+    "sim_eval_ndcg",
+    # iterative graph
+    "graph_bfs_hops",
+    # multimodal
+    "multimodal_chunk_fingerprint",
+    "multimodal_signal_energy",
+    # source-format coverage
+    "scan_parquet_nested_pushdown",
+    "scan_metadata_columns",
+    "scan_json_corrupt_permissive",
+    "scan_csv_schema_drift",
+    # Python DataSource writer
+    "sink_python_datasource",
+    # r06 ROWS -> FULL graduations (attested r04 as rows-only; first
+    # hash-match attestation happens this round)
+    "multimodal_decode_pipeline",
+    "scan_binary_files",
 ]
 
 

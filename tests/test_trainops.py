@@ -60,18 +60,31 @@ def test_ann_ivf_recall_sf001(spark):
 
 
 def test_multimodal_decode_shapes(spark):
-    """Decode output: one row per doc, fixed 4x4 feature vector, floats."""
-    from engine.multimodal import THUMB, binary_table
+    """Decode output: one row per doc, fixed 4x4 feature vector, floats;
+    the queries() summary reconstructs each payload's byte sum exactly."""
+    from engine.multimodal import THUMB, binary_table, decode_features
     from engine.registry import collect
 
-    queries, _ = collect()
-    out = queries["multimodal_decode_pipeline"](spark, SF_DIR).collect()
+    out = decode_features(spark, SF_DIR).collect()
     n_docs = binary_table(spark, SF_DIR).count()
     assert len(out) == n_docs
     for r in out[:20]:
         assert r.width == THUMB and r.height == THUMB
         feats = [float(v) for v in r.features.split(",")]
         assert len(feats) == THUMB * THUMB
+
+    queries, _ = collect()
+    summary = queries["multimodal_decode_pipeline"](spark, SF_DIR).collect()
+    assert len(summary) == n_docs
+    from engine.tables import load
+
+    texts = dict(
+        load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    for r in summary[:20]:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.byte_sum == sum(raw)
 
 
 def test_multimodal_real_decoder_gated():
