@@ -65,6 +65,15 @@ def _load_note() -> dict:
 
 
 def main() -> int:
+    # Captured BEFORE any Spark work: the 1-min loadavg here reflects
+    # CO-TENANT load only (our own JVM inflates every later reading), which
+    # is the number that decides whether a round-over-round per-key delta
+    # is signal. VERDICT r05 item 5: quiet = loadavg_1m < 2 at start; a
+    # non-quiet sidecar is explicitly annotated so regressions aren't
+    # misread (the r05-final sweep ran at loadavg 6.5 and polluted deltas).
+    load_at_start = _load_note()
+    quiet = load_at_start.get("loadavg_1m", 99.0) < 2.0
+
     from engine.registry import collect
     from engine.session import get_spark
 
@@ -114,6 +123,8 @@ def main() -> int:
         "queries_best": times_best,
         "value_best": round(sum(times_best.values()), 4),
         "load": _load_note(),
+        "load_at_start": load_at_start,
+        "quiet_host": quiet,
         "sf": sf,
     }
 
@@ -152,6 +163,8 @@ def main() -> int:
             "sf": sf,
             "runs_per_key": n_runs,
             "load": _load_note(),
+            "load_at_start": load_at_start,
+            "quiet_host": quiet,
             "n_keys": len(sweep),
             "failed": sorted(k for k, v in sweep.items() if v < 0),
             "sweep": sweep,

@@ -87,5 +87,12 @@ def run_compare(spark, duck, key: str, sf_dir: str = SF_DIR) -> None:
 
     queries, oracles = collect()
     sp = queries[key](spark, sf_dir).toPandas()
-    du = duck.sql(oracles[key]).df()
+    # Oracle strings are static and sf0.01-bound by the driver contract
+    # (the driver only ever runs them there). The few oracles that embed a
+    # filesystem path (read_blob in scan_binary_files) hardcode the sf0.01
+    # dir; retarget them when this faster sf0.001 loop runs.
+    sql = oracles[key]
+    if sf_dir != SF_DIR_MID:
+        sql = sql.replace(SF_DIR_MID, sf_dir)
+    du = duck.sql(sql).df()
     assert_frames_match(sp, du, key)

@@ -264,12 +264,19 @@ def test_null_safe_join_is_hash_join(spark):
 
 
 def test_rp_lsh_signatures_computed_once(spark):
-    # r03: the signature MapInPandas must run once — the band self-join's
-    # second side reads a ReusedExchange, and no embedding payload crosses
-    # the candidate shuffle (only bucket/vec_id int columns).
+    # r03: the signature MapInPandas must run once; no embedding payload
+    # crosses the candidate shuffle (only bucket/vec_id int columns).
+    # r06: the candidate stage is groupBy(bucket) -> collect_list ->
+    # double explode — ONE shuffle of the signature explosion, no window
+    # sort, no bucket self-join (the old shape's ReusedExchange is gone
+    # because the join it fed is gone). Pin: zero sorts before the final
+    # top-k, two Generates (the explodes), no cartesian.
     plan = _plan(spark, "sim_ann_rp_lsh")
     assert plan.count("MapInPandas") == 1, plan
-    assert "ReusedExchange" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Generate") == 2, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_pagerank_iterations_reuse_cached_edges(spark):
