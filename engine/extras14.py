@@ -104,24 +104,28 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per group, grouped top-k with a total order (count DESC,
     bigram).
 
-    Plan: bigram fan-out inside codegen (transform over a sequence, no
-    shuffle), one (lang, bigram) count with map-side partial aggregation,
-    then the rank window runs per lang over the counted relation —
-    vocabulary-sized, not corpus-sized. WindowGroupLimit prunes rank
-    state to k rows per partition (same plan shape win_row_number_topk
-    pins)."""
+    Plan: tokenize ONCE in a projection (r06 — Catalyst does not CSE a
+    repeated split(text) across lambda scopes, so the old inline
+    expression re-split every row three times), bigram fan-out inside
+    codegen (transform over a sequence, no shuffle), one (lang, bigram)
+    count with map-side partial aggregation, then the rank window runs
+    per lang over the counted relation — vocabulary-sized, not
+    corpus-sized. WindowGroupLimit prunes rank state to k rows per
+    partition (same plan shape win_row_number_topk pins)."""
     d = load(spark, sf_dir, "documents")
-    bg = d.select(
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    bg = toks.select(
         "lang",
         F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i], "
-                "split(text, ' ')[i+1])) ELSE array() END"
-            )
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i], t[i+1]))"
+                ),
+            ).otherwise(F.array(F.lit(None).cast("string")))
         ).alias("bigram"),
-    )
+    ).filter(F.col("bigram").isNotNull())
     counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
     return (

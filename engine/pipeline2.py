@@ -131,18 +131,24 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # CASE guard, not greatest(): sequence(1, 0) infers step -1 and yields
     # [1, 0] (the extras5 trap) — short docs must map to an empty array.
+    # Tokenize once into `t` per consumer (r06): Catalyst does not CSE the
+    # repeated split(text) across the lambda scope, so the old inline form
+    # re-split every row three times inside the shingle fan-out.
     shingle_expr = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 4), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) "
+        "CASE WHEN size(t) >= 5 THEN "
+        "transform(sequence(1, size(t) - 4), "
+        "i -> concat_ws(' ', slice(t, i, 5))) "
         "ELSE array() END"
     )
     evsh = (
         d.filter(F.col("doc_id") % 11 == 0)
+        .select(F.split("text", " ").alias("t"))
         .select(F.explode(shingle_expr).alias("sh"))
         .distinct()
     )
-    doc_sh = dd.select("doc_id", F.explode(shingle_expr).alias("sh"))
+    doc_sh = dd.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", F.explode(shingle_expr).alias("sh"))
     contaminated = (
         doc_sh.join(F.broadcast(evsh), "sh").select("doc_id").distinct()
     )
