@@ -37,12 +37,19 @@ def _within_new_losers(
     Two paths with identical keeper semantics, chosen by pair count:
     small graphs collect once into a driver union-find (path-halving;
     cheaper than 1+ distributed rounds when the pair list is KBs); past
-    _UNION_FIND_MAX_PAIRS the pairs are never collected — the shared
-    Pregel min-label kernel (engine.trainext.min_label_components, the
-    dedup_cluster_components engine) labels them in O(diameter) shuffles.
-    The count() that picks the path reads the localCheckpoint'd pair list,
-    so it costs one bounded job, not a plan re-execution."""
-    if not force_distributed and nn.count() <= _UNION_FIND_MAX_PAIRS:
+    _UNION_FIND_MAX_PAIRS the pairs are never fully collected — the
+    shared Pregel min-label kernel (engine.trainext.min_label_components,
+    the dedup_cluster_components engine) labels them in O(diameter)
+    shuffles. The guard IS the collect: limit(cap+1).collect() bounds
+    driver memory by construction, and a result under the cap is provably
+    the complete pair set — so the common case stays ONE materialization
+    of the semi-join subtree (a separate count() doubled the capstone to
+    6 s at sf0.1; only the rare oversized batch pays a re-execution on
+    the distributed path)."""
+    rows = None
+    if not force_distributed:
+        rows = nn.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
+    if rows is not None and len(rows) <= _UNION_FIND_MAX_PAIRS:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -51,7 +58,7 @@ def _within_new_losers(
                 x = parent[x]
             return x
 
-        for r in nn.collect():
+        for r in rows:
             a, b = r["a_id"], r["b_id"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
