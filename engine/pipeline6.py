@@ -28,7 +28,11 @@ _UNION_FIND_MAX_PAIRS = 100_000
 
 
 def _within_new_losers(
-    spark: SparkSession, nn: DataFrame, *, force_distributed: bool = False
+    spark: SparkSession,
+    nn: DataFrame,
+    *,
+    n_pairs_bound: int | None = None,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Connected components over the within-new near-dup pairs (columns
     a_id, b_id), returning the LOSERS (every member except the min-id
@@ -40,15 +44,21 @@ def _within_new_losers(
     _UNION_FIND_MAX_PAIRS the pairs are never fully collected — the
     shared Pregel min-label kernel (engine.trainext.min_label_components,
     the dedup_cluster_components engine) labels them in O(diameter)
-    shuffles. The guard IS the collect: limit(cap+1).collect() bounds
-    driver memory by construction, and a result under the cap is provably
-    the complete pair set — so the common case stays ONE materialization
-    of the semi-join subtree (a separate count() doubled the capstone to
-    6 s at sf0.1; only the rare oversized batch pays a re-execution on
-    the distributed path)."""
+    shuffles. Guard mechanics: ``n_pairs_bound`` is a caller-provided
+    UPPER bound on nn's row count (pipeline_incremental_refresh passes a
+    count of the already-localCheckpoint'd superset pair list — a free
+    job that recomputes nothing), letting the small case run ONE plain
+    collect. Without a bound the guard is limit(cap+1).collect(): driver
+    memory stays bounded by construction and an under-cap result is
+    provably the complete set, at the cost of CollectLimit's incremental
+    partition waves (r06 A/B: a separate count() doubled the capstone at
+    sf0.1; the bound path matches the unguarded shape exactly)."""
     rows = None
     if not force_distributed:
-        rows = nn.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
+        if n_pairs_bound is not None and n_pairs_bound <= _UNION_FIND_MAX_PAIRS:
+            rows = nn.collect()
+        elif n_pairs_bound is None:
+            rows = nn.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
     if rows is not None and len(rows) <= _UNION_FIND_MAX_PAIRS:
         parent: dict[int, int] = {}
 
@@ -222,7 +232,11 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(new2_ids, pairs["a_id"] == new2_ids["doc_id"], "left_semi")
         .join(new2_ids, pairs["b_id"] == new2_ids["doc_id"], "left_semi")
     )
-    within_drop = _within_new_losers(spark, nn.select("a_id", "b_id"))
+    # The checkpointed full pair list bounds the within-new subset; its
+    # count recomputes nothing, so the guard costs one trivial job.
+    within_drop = _within_new_losers(
+        spark, nn.select("a_id", "b_id"), n_pairs_bound=pairs.count()
+    )
 
     # Manifest: classify every arrival exactly once.
     tag = (
