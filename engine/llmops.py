@@ -274,8 +274,11 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
     try:
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-        n = pf.metadata.num_rows  # footer-only, no data read
+        from engine.tables import parquet_num_rows
+
+        n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")  # footer-only
+        if n is None:
+            raise ValueError("not footer-readable")  # -> toPandas fallback
         if n > _MAX_BROADCAST_VECTORS:
             raise RuntimeError(
                 f"embeddings has {n} vectors > broadcast budget "

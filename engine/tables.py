@@ -181,6 +181,30 @@ def lit_table(spark: SparkSession, rows: list, cols: list[str]) -> DataFrame:
 _CACHE: dict[tuple, DataFrame] = {}
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Footer-only row count for a parquet FILE or a directory of part
+    files (Spark writes directories; the driver testdata is single files).
+    Returns None when the path isn't footer-readable (non-parquet source)
+    — callers treat that as 'cannot prove small' and take their scale
+    path. Footers are O(KB) reads regardless of data size, so this is the
+    cheap statistics probe behind adaptive operating points (LSH signature
+    width, broadcast-vs-join verify gates)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its pinned schema.
 

@@ -181,8 +181,26 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     import pyarrow as pa
 
-    k, bits, n_tables = 10, 8, 16
+    k, n_tables = 10, 16
     bucket_cap = 256  # non-discriminative-bucket guard, as in dedup_near_minhash
+    # Signature width scales with log2(n) — the contract this docstring
+    # always claimed, implemented r06 after the 5× rehearsal caught the
+    # fixed-b saturation: at b=8 the 4096-bucket space saturates (~70
+    # members/bucket at n=2000), so growing n 5× produced 11.7M candidate
+    # pairs and a 1.88 scaling exponent. b = max(8, ceil(log2(n/8)))
+    # holds home-bucket occupancy ~constant (n / 2^b ≈ 8 per table), so
+    # candidate volume stays ~linear in n. The footer-only row count is
+    # the same one the verify-path gate reads; non-parquet sources fall
+    # back to b=8 (the value at every driver/test SF, so oracle results
+    # and the pinned recall floors are unchanged by this feature).
+    from engine.tables import parquet_num_rows
+
+    _n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    bits = (
+        max(8, int(np.ceil(np.log2(max(_n_vec / 8, 2)))))
+        if _n_vec is not None
+        else 8
+    )
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     # Gaussian hyperplanes (the textbook RP-LSH construction — uniform
@@ -255,15 +273,11 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Path choice: footer-only row count vs the broadcast budget (read
-    # dynamically off the module so tests can force the scale path).
+    # dynamically off the module so tests can force the scale path); the
+    # count itself was already read above for the signature-width choice.
     import engine.llmops as llmops
 
-    try:
-        import pyarrow.parquet as pq
-
-        n_vec = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    except Exception:
-        n_vec = None  # non-parquet source: can't prove it's small — join path
+    n_vec = _n_vec  # None for non-parquet: can't prove it's small — join path
 
     if n_vec is not None and n_vec <= llmops._MAX_BROADCAST_VECTORS:
         # Small-corpus fast path: one gather+einsum per Arrow batch against
