@@ -115,8 +115,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 similar pairs via IVF: 8 deterministic coarse
-    centroids (the 8 lowest-vec_id vectors), each vector assigned to its
+    """Approximate top-10 similar pairs via IVF: nlist deterministic
+    coarse centroids (the nlist lowest-vec_id vectors; nlist = max(8,
+    sqrt(n/8)) from footer stats), each vector assigned to its
     nprobe=3 nearest centroids, exact blocked search within each cluster,
     global top-k merge. Compare sim_topk_pairs for the exact answer;
     tests/test_simsearch.py pins the recall.
@@ -124,14 +125,29 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: assignment = map-side matmul vs broadcast centroids (no shuffle),
     candidates = one shuffle on cluster_id, per-cluster search bounded by
     cluster size — replaces the O(n²) pair space with Σ_c |c|²."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     k = 10
     nprobe = 3
+    # Coarse-quantizer size scales ~sqrt(n) (the comment below always
+    # claimed it; implemented r06 after the 5× rehearsal measured exponent
+    # 1.32 from the fixed nlist=8 — Σ_c |c|² is quadratic in n when the
+    # cluster count stands still). nlist stays exactly 8 at every
+    # driver/test SF (n=50/500 → the max() floor binds), so oracle results
+    # and the pinned recall floor are unchanged; past that, cluster
+    # population n·nprobe/nlist tracks sqrt(n), keeping per-cluster dense
+    # blocks bounded. Footer-only count; non-parquet sources fall back to
+    # the floor.
+    from engine.tables import parquet_num_rows
+
+    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    nlist = max(8, int(round(math.sqrt(_n / 8)))) if _n is not None else 8
     emb = load(spark, sf_dir, "embeddings")
     cents = (
-        emb.orderBy("vec_id").limit(8).select("embedding").toPandas()
+        emb.orderBy("vec_id").limit(nlist).select("embedding").toPandas()
     )
     c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
@@ -159,7 +175,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 9.4 s cold / 0.75 s warm at sf0.1 from worker forks alone.
     # Partition count tracks the index layout (nlist grows ~sqrt(n) at scale),
     # so this stays right as the corpus grows.
-    assigned = assigned.repartition(8, "cluster")
+    assigned = assigned.repartition(nlist, "cluster")
 
     def cluster_topk(key, pdf):
         v_ids = pdf["vec_id"].to_numpy()
