@@ -75,7 +75,19 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    cents_pdf = emb.orderBy("vec_id").limit(_NLIST).select("vec_id", "embedding").toPandas()
+    # nlist scales ~sqrt(n) from footer stats (r06, same pattern and
+    # rationale as sim_ann_ivf — the floor keeps every driver/test SF at
+    # exactly _NLIST=8, so stored-index oracle results are unchanged);
+    # here the win is serve-side read amplification: probed clusters hold
+    # n·nprobe/nlist postings each, so a fixed nlist makes every query
+    # scan O(n) postings while sqrt-scaling keeps it O(sqrt n).
+    import math
+
+    from engine.tables import parquet_num_rows
+
+    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    nlist = max(_NLIST, int(round(math.sqrt(_n / 8)))) if _n is not None else _NLIST
+    cents_pdf = emb.orderBy("vec_id").limit(nlist).select("vec_id", "embedding").toPandas()
     c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 
