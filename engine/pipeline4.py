@@ -86,7 +86,7 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.tables import parquet_num_rows
 
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    nlist = max(_NLIST, int(round(math.sqrt(_n / 8)))) if _n is not None else _NLIST
+    nlist = max(_NLIST, int(round(math.sqrt(_n / 32)))) if _n is not None else _NLIST
     cents_pdf = emb.orderBy("vec_id").limit(nlist).select("vec_id", "embedding").toPandas()
     c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)

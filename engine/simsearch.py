@@ -140,11 +140,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the pinned recall floor are unchanged; past that, cluster
     # population n·nprobe/nlist tracks sqrt(n), keeping per-cluster dense
     # blocks bounded. Footer-only count; non-parquet sources fall back to
-    # the floor.
+    # the floor. Calibration: sqrt(n/32) releases the floor just past the
+    # bench corpus (n=2000 -> 8, the measured-recall operating point;
+    # 10k -> 18; 1M -> 177), so every tested SF keeps its exact plan and
+    # growth pays the extra Python cluster-groups only when cluster sizes
+    # would otherwise grow past ~750 postings.
     from engine.tables import parquet_num_rows
 
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    nlist = max(8, int(round(math.sqrt(_n / 8)))) if _n is not None else 8
+    nlist = max(8, int(round(math.sqrt(_n / 32)))) if _n is not None else 8
     emb = load(spark, sf_dir, "embeddings")
     cents = (
         emb.orderBy("vec_id").limit(nlist).select("embedding").toPandas()
