@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT = "/tmp/sg_scale_5x"
+OUT = "/tmp/sg_scale_5x"  # overridden per-replication in main()
 
 KEYS_DEFAULT = [
     "agg_group_hash",          # linear baseline
@@ -81,6 +81,8 @@ def timed(fn, spark, sf_dir) -> float:
 def main() -> int:
     replication = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     only = sys.argv[2:]
+    global OUT
+    OUT = f"/tmp/sg_scale_{replication}x"
     from engine.registry import collect
     from engine.session import get_spark
 
