@@ -175,6 +175,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The remaining 81 never-attested keys go to the r07 window (50) and the
 # r08 window head (31) — all of them stay covered every round by the
 # sf0.001 pytest oracle layer and scripts/driver_sim.py at sf0.01.
+# Exact remainder, for the mechanical r07/r08 swap (recompute with
+# set(queries) − union(CORRECTNESS_r*.json keys) if r06's file diverges):
+# aggs (20): ab_ttest benford_digit_audit covariance_matrix dau_mau
+#   gini_concentration grouping_id histogram_2d hour_dow_heatmap
+#   listagg_native mad_robust markov_transitions new_vs_returning
+#   percentile_cont_disc rate_smoothing rfm_segmentation seasonality_index
+#   share_of_parent skyline_pareto_frontier top_paths weighted_moments
+# emb (3): centroid_confusion cosine_histogram dim_variance_rank
+# etl (14): anomaly_iqr_fences attribution_last_touch checksum_reconcile
+#   conversion_latency golden_record incremental_agg_merge interval_audit
+#   multi_sink_fanout ohlc_resample partition_overwrite_dynamic
+#   retention_cohort shard_manifest surrogate_hash_keys targeted_erasure
+# fn (8): binary_base64 regexp_extract_all round_half_even
+#   timestamp_multiformat_parse to_char_number ulid_sortable_id unix_epoch
+#   zorder_encode
+# join (3): asof_tolerance scd2_pointintime spatial_grid
+# sample (3): bootstrap_poisson kfold_assign negative_pairs
+# scan (5): csv_dialect csv_multichar_delim recursive_glob text_wholefile
+#   xml_roundtrip
+# sink (3): atomic_publish hive_partitioned parquet_bloom_filter
+# sql (12): distribute_by execute_immediate group_by_all join_hints
+#   lateral_view named_window_clause ordinal_alias_resolution
+#   session_variable star_except_order_all tvf_date_spine udf_sql_function
+#   values_inline_table
+# subq (1): multicol_in
+# win (9): concurrency_sweep drawdown_max moving_distinct_count
+#   moving_median pareto_cut period_over_period rank_shift_yoy
+#   rolling_corr time_weighted_avg
 _ATTEST_FIRST = [
     # pipeline capstones (none ever windowed)
     "pipeline_pretrain_mix",
