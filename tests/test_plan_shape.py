@@ -369,3 +369,24 @@ def test_ohlc_minby_is_partial_aggregable(spark):
     plan = _plan(spark, "etl_ohlc_resample")
     assert plan.count("Exchange") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_ngram_novelty_single_split_single_gram_shuffle(spark):
+    """r06 reshape pins: text is tokenized ONCE (Catalyst does not CSE a
+    repeated split(text) across lambda scopes — the old plan re-split every
+    row four times), and the cap/first-doc logic is a gram-keyed aggregate,
+    not a window (no shuffle+sort of the gram fan-out)."""
+    plan = _plan(spark, "text_ngram_novelty")
+    assert plan.count("split(") == 1, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Generate") == 2, plan  # doc-set + gram explodes
+
+
+def test_top_bigrams_single_split_grouplimit(spark):
+    """r06 reshape pins: one tokenize per row feeding the bigram explode,
+    and the per-lang rank window carries WindowGroupLimit so rank state
+    stays k rows per partition (the win_row_number_topk shape)."""
+    plan = _plan(spark, "text_top_bigrams_per_lang")
+    assert plan.count("split(") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
