@@ -188,20 +188,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with the ts column normalized
     to timestamp_ntz (file source needs an explicit schema).
 
-    The streaming file source wants a DIRECTORY to monitor; the corpus is a
-    single file, so we expose it through a temp dir of symlinks (read-only —
-    nothing under /root/testdata is touched)."""
+    The streaming file source wants a DIRECTORY to monitor. The driver
+    corpus stores events as a single FILE, exposed through a temp dir of
+    symlinks (read-only — nothing under /root/testdata is touched); a
+    Spark-WRITTEN corpus (scale rehearsals, any real pipeline output) is
+    already a directory of part files and is monitored directly. The r06
+    rehearsal caught the directory case silently streaming ZERO rows: a
+    symlink to a directory inside the monitored dir is not a data file to
+    the source's file index, and nothing errors — sub-linear-looking
+    negative exponents in a rehearsal are a correctness smell, not a win."""
     import os
 
     from engine.session import tune
 
     tune(spark)
     schema, ts_is_long = _events_raw_schema(spark, sf_dir)
-    d = _SRC_DIR_CACHE.get(sf_dir)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="sg-events-src-")
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
-        _SRC_DIR_CACHE[sf_dir] = d
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        d = src  # Spark-written dataset: monitor the part-file dir itself
+    else:
+        d = _SRC_DIR_CACHE.get(sf_dir)
+        if d is None:
+            d = tempfile.mkdtemp(prefix="sg-events-src-")
+            os.symlink(src, f"{d}/events.parquet")
+            _SRC_DIR_CACHE[sf_dir] = d
     raw = spark.readStream.schema(schema).format("parquet").load(d)
     if ts_is_long:
         return raw.withColumn(

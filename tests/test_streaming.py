@@ -149,3 +149,30 @@ def test_stream_late_data_key_drops_jan1(spark):
     )
     for ws, cnt in zip(out.window_start, out.cnt):
         assert int(batch.loc[ws]) == int(cnt), (ws, cnt, batch.loc[ws])
+
+
+def test_stream_source_reads_directory_layout(spark, tmp_path):
+    """r06 regression: a Spark-WRITTEN events corpus is a directory of part
+    files, and the old symlink-a-file source silently streamed ZERO rows
+    from it (the 5x rehearsal's negative exponents were this bug). The
+    stream over a directory layout must equal the stream over the driver's
+    single-file layout."""
+    import shutil
+
+    from engine.registry import collect
+    from tests.conftest import SF_DIR
+
+    queries, _ = collect()
+    dir_sf = str(tmp_path / "dircorpus")
+    import os
+
+    os.makedirs(dir_sf)
+    # events as a Spark-written directory; the key only reads events
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(3).write.parquet(
+        f"{dir_sf}/events.parquet"
+    )
+    fn = queries["stream_tumbling_1h"].__wrapped__
+    got = sorted(map(tuple, fn(spark, dir_sf).collect()))
+    want = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+    shutil.rmtree(dir_sf, ignore_errors=True)
