@@ -360,6 +360,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        # r06 directory-layout audit: a Spark-written corpus stores each
+        # table as a DIRECTORY of part files; without recursive lookup the
+        # flat glob finds zero blobs there. The driver corpus is flat, so
+        # this is a no-op for the oracle (same 10 files either way).
+        .option("recursiveFileLookup", "true")
         .load(sf_dir)
     )
     return (
