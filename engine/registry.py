@@ -172,26 +172,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (text analysis, dedup/embedding, scans). The final 2 slots attest the
 # r06 ROWS->FULL graduations (multimodal_decode_pipeline,
 # scan_binary_files) so their first hash-match rows land on driver record.
-# The remaining 81 never-attested keys go to the r07 window (50) and the
-# r08 window head (31) — all of them stay covered every round by the
-# sf0.001 pytest oracle layer and scripts/driver_sim.py at sf0.01.
-# Exact remainder, for the mechanical r07/r08 swap (recompute with
-# set(queries) − union(CORRECTNESS_r*.json keys) if r06's file diverges):
-# aggs (20): ab_ttest benford_digit_audit covariance_matrix dau_mau
-#   gini_concentration grouping_id histogram_2d hour_dow_heatmap
-#   listagg_native mad_robust markov_transitions new_vs_returning
-#   percentile_cont_disc rate_smoothing rfm_segmentation seasonality_index
-#   share_of_parent skyline_pareto_frontier top_paths weighted_moments
-# emb (3): centroid_confusion cosine_histogram dim_variance_rank
-# etl (14): anomaly_iqr_fences attribution_last_touch checksum_reconcile
-#   conversion_latency golden_record incremental_agg_merge interval_audit
-#   multi_sink_fanout ohlc_resample partition_overwrite_dynamic
-#   retention_cohort shard_manifest surrogate_hash_keys targeted_erasure
-# fn (8): binary_base64 regexp_extract_all round_half_even
-#   timestamp_multiformat_parse to_char_number ulid_sortable_id unix_epoch
-#   zorder_encode
-# join (3): asof_tolerance scd2_pointintime spatial_grid
-# sample (3): bootstrap_poisson kfold_assign negative_pairs
+# r07 window (this list): the first 50 of the 81-key never-attested
+# remainder recorded by the r06 registry comment and re-derived this round
+# as set(queries) − union(CORRECTNESS_r01..r06 keys) — aggs (20), emb (3),
+# etl (14), fn (8), join (3), and 2 of the 3 sample keys. All were green in
+# the r06 session's independent 364-key driver sim and stay covered every
+# round by the sf0.001 pytest oracle layer and scripts/driver_sim.py.
+#
+# r08 window head — the remaining 31 never-attested keys (pre-registered
+# per VERDICT r06 item 5; swap these in at r08 start):
+# sample (1): negative_pairs
 # scan (5): csv_dialect csv_multichar_delim recursive_glob text_wholefile
 #   xml_roundtrip
 # sink (3): atomic_publish hive_partitioned parquet_bloom_filter
@@ -203,73 +193,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # win (9): concurrency_sweep drawdown_max moving_distinct_count
 #   moving_median pareto_cut period_over_period rank_shift_yoy
 #   rolling_corr time_weighted_avg
+# The 19 remaining r08 slots go to staleness rotation: re-attest the
+# oldest-green keys, starting with the r01 attestations (5+ rounds stale by
+# r08 — relational scans/joins/sets attested r01 and never re-checked),
+# oldest driver row first. Staleness policy: a green attestation older than
+# 4 rounds is eligible for a rotation slot once all keys have a first
+# attestation; first-time attestation always outranks re-attestation.
+_WINDOW_ROUND = 7  # CORRECTNESS_r0{N}.json this window is aimed at
+
 _ATTEST_FIRST = [
-    # pipeline capstones (none ever windowed)
-    "pipeline_pretrain_mix",
-    "pipeline_dedup_cascade",
-    "pipeline_ann_index_build",
-    "pipeline_rag_index",
-    "pipeline_stream_serving",
-    "pipeline_incremental_refresh",
-    # streaming state machines
-    "stream_event_time_timeout",
-    "stream_checkpoint_exactly_once",
-    # exact-decimal aggregation
-    "agg_decimal_exact",
-    # UDF/UDTF surface
-    "udtf_table_argument",
-    "udf_mapinpandas_stream",
-    "udf_python_arrow_scalar",
-    # optimizer trio
-    "join_dynamic_partition_prune",
-    "plan_analyze_stats",
-    "plan_exchange_reuse",
-    # SQL PIVOT/UNPIVOT clauses
-    "sql_pivot_clause",
-    "sql_unpivot_clause",
-    # adapted TPC-H shapes (q1-q22 closure keys registered late-r05)
-    "tpch_q2_min_cost_adapted",
-    "tpch_q11_important_stock_adapted",
-    "tpch_q12_late_shipping_adapted",
-    "tpch_q20_excess_supplier_adapted",
-    "tpch_q21_waiting_adapted",
-    # text-analysis family
-    "text_bm25_rank",
-    "text_ngram_novelty",
-    "text_cooccurrence_pmi",
-    "text_gopher_quality_rules",
-    "text_html_strip",
-    "text_top_bigrams_per_lang",
-    "text_chat_template_render",
-    "text_hapax_ratio",
-    "text_source_vocab_jaccard",
-    "text_eval_token_f1",
-    # dedup / embedding family
-    "dedup_pair_explain",
-    "dedup_exact_embedding",
-    "emb_random_projection_jl",
-    "emb_norm_profile",
-    "emb_outlier_distance",
-    "emb_isotropy_audit",
-    # similarity-search evaluation
-    "sim_hybrid_rrf_fusion",
-    "sim_eval_ndcg",
-    # iterative graph
-    "graph_bfs_hops",
-    # multimodal
-    "multimodal_chunk_fingerprint",
-    "multimodal_signal_energy",
-    # source-format coverage
-    "scan_parquet_nested_pushdown",
-    "scan_metadata_columns",
-    "scan_json_corrupt_permissive",
-    "scan_csv_schema_drift",
-    # Python DataSource writer
-    "sink_python_datasource",
-    # r06 ROWS -> FULL graduations (attested r04 as rows-only; first
-    # hash-match attestation happens this round)
-    "multimodal_decode_pipeline",
-    "scan_binary_files",
+    # statistical / analytical aggregations (never windowed)
+    "agg_ab_ttest",
+    "agg_benford_digit_audit",
+    "agg_covariance_matrix",
+    "agg_dau_mau",
+    "agg_gini_concentration",
+    "agg_grouping_id",
+    "agg_histogram_2d",
+    "agg_hour_dow_heatmap",
+    "agg_listagg_native",
+    "agg_mad_robust",
+    "agg_markov_transitions",
+    "agg_new_vs_returning",
+    "agg_percentile_cont_disc",
+    "agg_rate_smoothing",
+    "agg_rfm_segmentation",
+    "agg_seasonality_index",
+    "agg_share_of_parent",
+    "agg_skyline_pareto_frontier",
+    "agg_top_paths",
+    "agg_weighted_moments",
+    # embedding diagnostics
+    "emb_centroid_confusion",
+    "emb_cosine_histogram",
+    "emb_dim_variance_rank",
+    # ETL patterns
+    "etl_anomaly_iqr_fences",
+    "etl_attribution_last_touch",
+    "etl_checksum_reconcile",
+    "etl_conversion_latency",
+    "etl_golden_record",
+    "etl_incremental_agg_merge",
+    "etl_interval_audit",
+    "etl_multi_sink_fanout",
+    "etl_ohlc_resample",
+    "etl_partition_overwrite_dynamic",
+    "etl_retention_cohort",
+    "etl_shard_manifest",
+    "etl_surrogate_hash_keys",
+    "etl_targeted_erasure",
+    # scalar-function surface
+    "fn_binary_base64",
+    "fn_regexp_extract_all",
+    "fn_round_half_even",
+    "fn_timestamp_multiformat_parse",
+    "fn_to_char_number",
+    "fn_ulid_sortable_id",
+    "fn_unix_epoch",
+    "fn_zorder_encode",
+    # join variants
+    "join_asof_tolerance",
+    "join_scd2_pointintime",
+    "join_spatial_grid",
+    # sampling
+    "sample_bootstrap_poisson",
+    "sample_kfold_assign",
 ]
 
 

@@ -3,16 +3,24 @@ first 50 keys of queries() in dict order, so the registry's _ATTEST_FIRST
 list IS the round's driver coverage. These tests pin the invariants that
 make a window slot count: the list leads the returned dict exactly, every
 windowed key carries a FULL oracle (a slot spent on a rows-only check
-would waste driver attestation), and the r06 window contains only keys
-that need first-time or graduation attestation."""
+would waste driver attestation), and the current window contains only
+keys that need first-time or graduation attestation.
+
+The unattested-targets check scans only CORRECTNESS files from rounds
+STRICTLY BEFORE the window's own round (_WINDOW_ROUND): a slot is judged
+against the evidence that existed when the window was chosen. Scanning
+all files made the r06 variant go stale the moment the driver wrote
+CORRECTNESS_r06.json — the window's own attestations flagged every slot
+as 'wasted' (ADVICE r06, the round's only red test)."""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
+import re
 
-from engine.registry import _ATTEST_FIRST, collect
+from engine.registry import _ATTEST_FIRST, _WINDOW_ROUND, collect
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,12 +44,32 @@ def test_window_keys_all_have_full_oracles():
     assert not missing, f"windowed keys without oracles: {missing}"
 
 
+def test_window_round_is_next_unwritten_round():
+    """_WINDOW_ROUND must point past every CORRECTNESS file already on
+    disk, else the prior-evidence scan below would wrongly ignore real
+    prior rounds (window forgotten across a round boundary)."""
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    assert rounds, "no CORRECTNESS files found"
+    assert _WINDOW_ROUND > max(rounds), (
+        f"_WINDOW_ROUND={_WINDOW_ROUND} but CORRECTNESS_r{max(rounds):02d}"
+        ".json exists: swap the window for the next round"
+    )
+
+
 def test_window_targets_unattested_or_graduating_keys():
-    """Every r06 slot must buy new driver evidence: either the key has no
-    prior CORRECTNESS row at all, or its only prior rows were the weaker
-    rows-only check (err == 'no_oracle') and it is graduating to FULL."""
+    """Every slot must buy new driver evidence: either the key has no
+    CORRECTNESS row from any round before _WINDOW_ROUND, or its only
+    prior rows were the weaker rows-only check (err == 'no_oracle') and
+    it is graduating to FULL."""
     prior: dict[str, list] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m is None or int(m.group(1)) >= _WINDOW_ROUND:
+            continue
         for k, v in json.load(open(f)).items():
             prior.setdefault(k, []).append(v)
     wasted = []
