@@ -139,16 +139,30 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_near_pairs(d: DataFrame) -> DataFrame:
-    """The MinHash-LSH near-duplicate pair kernel behind dedup_near_minhash,
-    factored over an arbitrary (doc_id, text, ...) relation so composed
-    pipelines (pipeline_dedup_cascade) can run it on an intermediate stage's
-    survivors instead of the raw documents table. Returns unordered
-    (a_id, b_id, jaccard_dist<=0.6) with dist rounded to 4. Full design
-    rationale + measured numbers: dedup_near_minhash's docstring above."""
-    n_perm, p = 32, 2147483647  # 16 bands x r=2; p = 2^31-1 (no i64 overflow)
-    bucket_cap = 50
+# MinHash-LSH kernel parameters, shared by the one-shot pair kernel below
+# and the persisted band index (engine.pipeline6): 16 bands x r=2 over 32
+# permutations mod p = 2^31-1 (so (a*h+b) % p never overflows int64), with
+# band buckets larger than 50 docs dropped as non-discriminative. A stored
+# index and a fresh signature pass MUST agree on all three or cross-side
+# candidate joins silently miss pairs — hence module constants, not locals.
+LSH_N_PERM = 32
+LSH_P = 2147483647
+LSH_BUCKET_CAP = 50
+_LSH_PERMS = [
+    (((i + 1) * 2654435761) % LSH_P, ((i + 1) * 2246822519) % LSH_P)
+    for i in range(LSH_N_PERM)
+]
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """One pass over a (doc_id, text, ...) relation producing everything
+    LSH needs downstream: 32 minhash columns m0..m31 (band keys + Jaccard
+    estimation) and the exact shingle hash-set ``hs`` (candidate
+    verification). This is the only stage that touches ``text``; a caller
+    holding this output (or its parquet persistence — the refresh index)
+    never re-shingles."""
     from engine.textops import explode_nonempty, spread_cpu
+
     # Shingles are hashed INSIDE the transform (h0 = xxhash64 of the 5-gram)
     # so only int64s are deduped/exploded/shuffled — the strings never leave
     # the lambda; int64 set ops in the exact-Jaccard verify step are ~10x
@@ -165,23 +179,98 @@ def minhash_near_pairs(d: DataFrame) -> DataFrame:
     # h: h0 folded into [0, p) so the permutations (a*h+b) % p never
     # overflow int64.
     ex = explode_nonempty(sh0, "hs0", "h0").withColumn(
-        "h", F.pmod(F.col("h0"), F.lit(p))
+        "h", F.pmod(F.col("h0"), F.lit(LSH_P))
     )
-    perms = [
-        (((i + 1) * 2654435761) % p, ((i + 1) * 2246822519) % p)
-        for i in range(n_perm)
-    ]
     # One shuffle produces BOTH the 32 minhashes and the doc's exact shingle
     # hash-set (for candidate verification) — no second pass over the text.
-    mins = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
-            for i, (a, b) in enumerate(perms)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(LSH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_LSH_PERMS)
         ],
         F.collect_set("h0").alias("hs"),
     )
-    # Three consumers read this subtree (band self-join x/y + the two
-    # verify-side hs joins); without a persist the shingle explode + 32-min
+
+
+def lsh_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, k1, k2) band-key rows from a minhash_signatures
+    output — band i's bucket key is the adjacent minhash pair
+    (m_{2i}, m_{2i+1}); r=2 keys are what keep shared-vocabulary corpora
+    from collapsing into mega-buckets (see dedup_near_minhash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.col(f"m{2 * i}").alias("k1"), F.col(f"m{2 * i + 1}").alias("k2")
+            )
+            for i in range(LSH_N_PERM // 2)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bk")).select(
+        "doc_id", "band", F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2")
+    )
+
+
+def verify_near_pairs(
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame
+) -> DataFrame:
+    """Two-stage exact verification of LSH candidate pairs (a_id, b_id),
+    reading each side's minhash columns + shingle set from sig_a / sig_b
+    (minhash_signatures outputs — possibly one live and one loaded from a
+    stored index). Returns (a_id, b_id, jaccard_dist <= 0.6), dist
+    rounded to 4.
+
+    Two-stage rationale (r03: 212k candidates for 256 true pairs at sf0.1
+    made the exact array_intersect over ~1000-element shingle sets the
+    cost center — ~2e8 element ops + the arrays shipped through two
+    joins). Stage 1 estimates Jaccard from the 32 minhash columns already
+    computed (matching-minhash fraction; 32 small ints per side, not the
+    sets) and keeps est >= 0.2 — 2.3σ below the 0.4 target threshold
+    (binomial σ = √(.4·.6/32) ≈ 0.087), so a true threshold pair is
+    dropped with p ≈ 0.4% and the corpus's actual near-dups (sim ≥ 0.83)
+    never are. Stage 2 runs the exact set intersection on the few
+    survivors only.
+
+    Any extra columns on ``cand`` beyond (a_id, b_id) ride through to the
+    output — pipeline6 tags candidates by gate and verifies both gates'
+    candidates in ONE tree."""
+    extra = [c for c in cand.columns if c not in ("a_id", "b_id")]
+    est_cols = [f"m{i}" for i in range(LSH_N_PERM)]
+    ma = sig_a.select(
+        F.col("doc_id").alias("a_id"), *[F.col(m).alias(f"a_{m}") for m in est_cols]
+    )
+    mb = sig_b.select(
+        F.col("doc_id").alias("b_id"), *[F.col(m).alias(f"b_{m}") for m in est_cols]
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0) for m in est_cols
+    )
+    pre = (
+        cand.join(ma, "a_id")
+        .join(mb, "b_id")
+        .filter(n_match >= int(0.2 * LSH_N_PERM))
+        .select("a_id", "b_id", *extra)
+    )
+    a = sig_a.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
+    b = sig_b.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    dist = 1 - inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        pre.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(dist <= 0.6)
+        .select("a_id", "b_id", F.round(dist, 4).alias("jaccard_dist"), *extra)
+    )
+
+
+def minhash_near_pairs(d: DataFrame) -> DataFrame:
+    """The MinHash-LSH near-duplicate pair kernel behind dedup_near_minhash,
+    factored over an arbitrary (doc_id, text, ...) relation so composed
+    pipelines (pipeline_dedup_cascade) can run it on an intermediate stage's
+    survivors instead of the raw documents table. Returns unordered
+    (a_id, b_id, jaccard_dist<=0.6) with dist rounded to 4. Full design
+    rationale + measured numbers: dedup_near_minhash's docstring above."""
+    # Three consumers read the signature subtree (band self-join x/y + the
+    # two verify-side joins); without a persist the shingle explode + 32-min
     # agg — the expensive part — executes once PER consumer. MEMORY_AND_DISK,
     # sized O(docs x (32 ints + shingle set)): ~80 MB at sf0.1, spills past
     # memory rather than failing at cluster scale. The cached copy is never
@@ -192,21 +281,11 @@ def minhash_near_pairs(d: DataFrame) -> DataFrame:
     # an unpersist-after-materialize would re-run the explode every call.
     from pyspark import StorageLevel
 
-    mins = mins.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = F.array(
-        *[
-            F.struct(
-                F.col(f"m{2 * i}").alias("k1"), F.col(f"m{2 * i + 1}").alias("k2")
-            )
-            for i in range(n_perm // 2)
-        ]
-    )
-    sig = mins.select("doc_id", F.posexplode(bands).alias("band", "bk")).select(
-        "doc_id", "band", F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2")
-    )
+    mins = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = lsh_band_rows(mins)
     sig = sig.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
-    ).filter(F.col("bsz") <= bucket_cap)
+    ).filter(F.col("bsz") <= LSH_BUCKET_CAP)
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "k1", "k2"])
@@ -214,42 +293,7 @@ def minhash_near_pairs(d: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    # Two-stage verify (r03: 212k candidates for 256 true pairs at sf0.1 made
-    # the exact array_intersect over ~1000-element shingle sets the cost
-    # center — ~2e8 element ops + the arrays shipped through two joins).
-    # Stage 1 estimates Jaccard from the 32 minhash columns already computed
-    # (matching-minhash fraction; 32 small ints per side, not the sets) and
-    # keeps est >= 0.2 — 2.3σ below the 0.4 target threshold (binomial
-    # σ = √(.4·.6/32) ≈ 0.087), so a true threshold pair is dropped with
-    # p ≈ 0.4% and the corpus's actual near-dups (sim ≥ 0.83) never are.
-    # Stage 2 runs the exact set intersection on the few survivors only.
-    est_cols = [f"m{i}" for i in range(n_perm)]
-    ma = mins.select(
-        F.col("doc_id").alias("a_id"), *[F.col(m).alias(f"a_{m}") for m in est_cols]
-    )
-    mb = mins.select(
-        F.col("doc_id").alias("b_id"), *[F.col(m).alias(f"b_{m}") for m in est_cols]
-    )
-    n_match = sum(
-        F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0) for m in est_cols
-    )
-    pre = (
-        cand.join(ma, "a_id")
-        .join(mb, "b_id")
-        .filter(n_match >= int(0.2 * n_perm))
-        .select("a_id", "b_id")
-    )
-    hs = mins.select("doc_id", "hs")
-    a = hs.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
-    b = hs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    dist = 1 - inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
-    return (
-        pre.join(a, "a_id")
-        .join(b, "b_id")
-        .filter(dist <= 0.6)
-        .select("a_id", "b_id", F.round(dist, 4).alias("jaccard_dist"))
-    )
+    return verify_near_pairs(cand, mins, mins)
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,8 @@ refresh): conservation, old-side immunity, and gate precedence."""
 
 from __future__ import annotations
 
+import os
+
 from tests.conftest import SF_DIR
 
 
@@ -93,3 +95,54 @@ def test_within_new_losers_distributed_matches_union_find(spark):
     # with the guard lowered the SAME call takes the distributed path —
     # prove the threshold actually gates (monkeypatch-free: count check)
     assert n_pairs < _UNION_FIND_MAX_PAIRS  # default path was union-find
+
+
+def test_refresh_reads_only_index_and_new_batch(spark, tmp_path):
+    """The r07 incremental contract: refresh_against_index is closed over
+    (new batch, stored artifacts) — the accepted corpus's parquet (and so
+    its text) is NEVER an input of the refresh plan. The new batch is
+    written to its own parquet so the assert is airtight at the file
+    level: every file the refresh result reads must live under either
+    the index base or the new-batch directory."""
+    from pyspark.sql import functions as F
+
+    from engine.pipeline6 import build_refresh_index, refresh_against_index
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    is_new = F.col("doc_id") % 5 == 0
+    base = str(tmp_path / "idx")
+    new_path = str(tmp_path / "new_batch")
+    build_refresh_index(spark, d.filter(~is_new), base)
+    d.filter(is_new).write.parquet(new_path)
+
+    new = spark.read.parquet(new_path)
+    manifest = refresh_against_index(spark, new, base)
+    allowed = (os.path.realpath(base), os.path.realpath(new_path))
+    offending = [
+        f
+        for f in manifest.inputFiles()
+        if not os.path.realpath(f.removeprefix("file:")).startswith(allowed)
+    ]
+    assert not offending, f"refresh scans non-index inputs: {offending}"
+    # and the manifest itself is still the full decision algebra
+    rows = manifest.collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["drop_exact_vs_old"]
+            + r["drop_near_vs_old"]
+            + r["drop_within_new"]
+            + r["n_accepted"]
+            == r["n_arrived"]
+        )
+    assert sum(r["drop_near_vs_old"] for r in rows) > 0
+
+
+def test_refresh_against_index_matches_monolithic_oracle(spark, duck):
+    """The stored-index refresh must produce the identical manifest the
+    monolithic old∪new kernel produced (the pre-r07 shape, still the
+    registered oracle): same gates, same counts, per source."""
+    from tests.conftest import run_compare
+
+    run_compare(spark, duck, "pipeline_incremental_refresh")
