@@ -85,6 +85,12 @@ def _within_new_losers(
 
     from engine.trainext import min_label_components
 
+    # Truncate the gate lineage before iterating: min_label_components
+    # re-reads its edge relation EVERY round, and nn's plan hangs the
+    # whole gate-1/2 subtree (batch union scan, semi-joins) under it —
+    # at a 25x-batch rehearsal the uncheckpointed recompute piled up to
+    # a driver OOM. The pair list itself is row-tiny (2 int64s/row).
+    nn = nn.localCheckpoint()
     edges = nn.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).union(nn.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
