@@ -176,33 +176,85 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join shape instead of raising, candidate volume stays bounded by
     the bucket cap (Σ_b min(|b|,cap)²), and the final top-10 is a
     TakeOrdered. tests/test_vecops.py proves the no-broadcast path by
-    forcing the gate to 0 vectors and re-checking recall."""
+    forcing the gate to 0 vectors and re-checking recall.
+
+    r07 exact-dup collapse (closes the r05/r06 clone-corpus floor): LSH
+    candidate work is Ω(#true near pairs), and a corpus with exact-dup
+    groups of size r has Θ(n·r) identical pairs — every clone shares
+    every signature, so no (L, b) choice can separate them and the r06
+    rehearsals measured an exponent-1.2–1.43 floor on replicated corpora.
+    The fix is to stop hashing duplicates at all: group identical
+    embeddings (one hash-groupBy shuffle, exact — the array value is the
+    key, no hash-collision risk), run the ENTIRE signature/bucket/verify
+    pipeline on the min-id representatives, then expand the winning
+    blocks afterward. Expansion is decision-preserving for top-k with
+    members truncated to the k+1 smallest ids per group: within a block
+    (fixed sim) pairs tie-order by (a_id, b_id), and the k smallest
+    combinations of one or two sorted lists only ever draw from each
+    list's first k+1 elements. Intra-group pairs (sim = ‖v‖², the dot of
+    identical vectors) bypass LSH entirely. On dup-free corpora (every
+    driver/test SF) reps == vectors and behavior is bit-identical; the
+    collect_list buffer is bounded by dup multiplicity — a corpus where
+    that is itself pathological should run dedup_exact_embedding as a
+    materialized pre-stage."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    from pyspark import StorageLevel
 
     k, n_tables = 10, 16
     bucket_cap = 256  # non-discriminative-bucket guard, as in dedup_near_minhash
-    # Signature width scales with log2(n) — the contract this docstring
-    # always claimed, implemented r06 after the 5× rehearsal caught the
-    # fixed-b saturation: at b=8 the 4096-bucket space saturates (~70
-    # members/bucket at n=2000), so growing n 5× produced 11.7M candidate
-    # pairs and a 1.88 scaling exponent. b = max(8, ceil(log2(n/8)))
-    # holds home-bucket occupancy ~constant (n / 2^b ≈ 8 per table), so
-    # candidate volume stays ~linear in n. The footer-only row count is
-    # the same one the verify-path gate reads; non-parquet sources fall
-    # back to b=8 (the value at every driver/test SF, so oracle results
-    # and the pinned recall floors are unchanged by this feature).
     from engine.tables import parquet_num_rows
 
+    # Footer-only row count: feeds the verify-path broadcast-budget gate.
     _n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    bits = (
-        max(8, int(np.ceil(np.log2(max(_n_vec / 8, 2)))))
-        if _n_vec is not None
-        else 8
-    )
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    # Dup probe: ONE cheap job (hashes shuffle as int64s, never the
+    # arrays) decides whether the collapse prestage is worth its ~5 extra
+    # stages. countDistinct(hash) == footer rows ⇒ provably dup-free
+    # (a hash collision can only UNDER-count, which routes to the
+    # collapse path — whose grouping key is the full array, so a
+    # collision costs a little time, never correctness). Unreadable
+    # footer ⇒ can't prove dup-free ⇒ collapse path.
+    n_distinct = (
+        emb.select(F.xxhash64("embedding").alias("gh"))
+        .agg(F.countDistinct("gh"))
+        .first()[0]
+    )
+    has_dups = _n_vec is None or n_distinct < _n_vec
+    if has_dups:
+        # Exact-dup collapse (see docstring): representatives + the k+1
+        # smallest member ids + true group size, persisted — five
+        # consumers (rep count, signature pass, expansion joins, intra).
+        g = (
+            emb.groupBy("embedding")
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.slice(F.sort_array(F.collect_list("vec_id")), 1, k + 1).alias(
+                    "members"
+                ),
+                F.count("*").alias("grp_n"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        g = None
+    # Signature width scales with log2(n_reps) — the contract this
+    # docstring always claimed, implemented r06 after the 5× rehearsal
+    # caught the fixed-b saturation: at b=8 the 4096-bucket space
+    # saturates (~70 members/bucket at n=2000), so growing n 5× produced
+    # 11.7M candidate pairs and a 1.88 scaling exponent.
+    # b = max(8, ceil(log2(n/8))) holds home-bucket occupancy ~constant
+    # (n / 2^b ≈ 8 per table), so candidate volume stays ~linear in n.
+    # r07: n is the REPRESENTATIVE count (the relation being hashed —
+    # sizing from raw rows would over-widen b on dup-heavy corpora and
+    # cost recall); the count doubles as g's materialization, so later
+    # consumers hit cache. Dup-free corpora (every driver/test SF) give
+    # n_reps == footer rows — oracle results and the pinned recall
+    # floors are unchanged.
+    n_reps = g.count() if g is not None else n_distinct
+    bits = max(8, int(np.ceil(np.log2(max(n_reps / 8, 2)))))
     # Gaussian hyperplanes (the textbook RP-LSH construction — uniform
     # multiplicative-hash noise left rows linearly correlated and cost ~0.1
     # measured recall), seeded PCG64 so every run/executor derives the
@@ -249,7 +301,10 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from engine.textops import spread_cpu
 
-    sigs = spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInPandas(
+    src = g.select("vec_id", "embedding") if g is not None else emb.select(
+        "vec_id", "embedding"
+    )
+    sigs = spread_cpu(src, width=8).mapInPandas(
         signatures, "bucket long, vec_id long"
     )
     # Candidate generation in ONE shuffle of the signature explosion:
@@ -342,7 +397,50 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(eb, "b_id")
             .select("a_id", "b_id", F.round(dot, 4).alias("sim"))
         )
-    return res.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
+    if g is None:  # dup-free: reps ≡ vectors, nothing to expand
+        return res.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
+    # Expand representative pairs back to member pairs (r07 collapse).
+    # Cross-group blocks carry the rep pair's sim (identical vectors ⇒
+    # identical dots); intra-group blocks are all-pairs of a dup group at
+    # sim = ‖v‖². Members are the k+1 smallest ids per group, which is
+    # exactly enough to decide the global top-k under (sim desc, a_id,
+    # b_id) ordering; the final TakeOrdered never sees more than
+    # (k+1)² rows per block.
+    ga = g.select(F.col("vec_id").alias("a_id"), F.col("members").alias("ma"))
+    gb = g.select(F.col("vec_id").alias("b_id"), F.col("members").alias("mb"))
+    cross = (
+        res.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select("sim", F.explode("ma").alias("va"), "mb")
+        .select("sim", "va", F.explode("mb").alias("vb"))
+        .select(
+            F.least("va", "vb").alias("a_id"),
+            F.greatest("va", "vb").alias("b_id"),
+            "sim",
+        )
+    )
+    vd = F.col("embedding").cast("array<double>")
+    normsq = F.round(
+        F.aggregate(
+            F.zip_with(vd, vd, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    intra = (
+        g.filter(F.col("grp_n") >= 2)
+        .select(normsq.alias("sim"), F.col("members").alias("ms"))
+        .select("sim", F.explode("ms").alias("va"), "ms")
+        .select("sim", "va", F.explode("ms").alias("vb"))
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("a_id"), F.col("vb").alias("b_id"), "sim")
+    )
+    return (
+        cross.unionByName(intra)
+        .orderBy(F.col("sim").desc(), "a_id", "b_id")
+        .limit(k)
+    )
 
 
 # per-corpus PCA fit diagnostics (mean, eigenvalues, orthonormality error),

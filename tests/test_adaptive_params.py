@@ -79,6 +79,6 @@ def test_formulas_match_operator_source():
     vec = open(os.path.join(root, "engine", "vecops.py")).read()
     sim = open(os.path.join(root, "engine", "simsearch.py")).read()
     p4 = open(os.path.join(root, "engine", "pipeline4.py")).read()
-    assert "max(8, int(np.ceil(np.log2(max(_n_vec / 8, 2)))))" in vec
+    assert "max(8, int(np.ceil(np.log2(max(n_reps / 8, 2)))))" in vec
     assert "max(8, int(round(math.sqrt(_n / 32))))" in sim
     assert "int(round(math.sqrt(_n / 32)))" in p4

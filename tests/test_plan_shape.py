@@ -270,7 +270,10 @@ def test_rp_lsh_signatures_computed_once(spark):
     # double explode — ONE shuffle of the signature explosion, no window
     # sort, no bucket self-join (the old shape's ReusedExchange is gone
     # because the join it fed is gone). Pin: zero sorts before the final
-    # top-k, two Generates (the explodes), no cartesian.
+    # top-k, two Generates (the explodes), no cartesian. The r07
+    # exact-dup collapse leaves this plan untouched on dup-free corpora
+    # (the dup probe routes around it); the collapse path's own shape is
+    # covered by tests/test_vecops.py::test_rp_lsh_exact_dup_collapse.
     plan = _plan(spark, "sim_ann_rp_lsh")
     assert plan.count("MapInPandas") == 1, plan
     assert "Window" not in plan, plan

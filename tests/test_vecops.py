@@ -99,3 +99,43 @@ def test_scalar_quantize_bounds(spark):
     # global extremes are present and every dimension must hit both ends
     assert (per_dim["min"] == 0).all()
     assert (per_dim["max"] == 255).all()
+
+
+def test_rp_lsh_exact_dup_collapse(spark, tmp_path):
+    """r07 clone-floor fix: on a corpus WITH exact-duplicate embeddings
+    the dup probe must route through the collapse prestage (reps-only
+    LSH + block expansion), and the result must still be the exact
+    top-10 pair list under (sim desc, a_id, b_id) — including the
+    intra-group pairs that bypass LSH entirely. Brute-force reference
+    computed in numpy over the full clone corpus."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine.registry import QUERIES
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = [base] + [
+        base.withColumn("vec_id", F.col("vec_id") + i * 1_000_000) for i in (1, 2)
+    ]
+    dup = parts[0]
+    for p in parts[1:]:
+        dup = dup.unionByName(p)
+    dup.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    res = QUERIES["sim_ann_rp_lsh"].__wrapped__(spark, str(tmp_path)).collect()
+    got = [(r["a_id"], r["b_id"], r["sim"]) for r in res]
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in dup.collect()
+    )
+    ids = [i for i, _ in rows]
+    m = np.stack([v for _, v in rows])
+    sims = np.round(m @ m.T, 4)
+    allp = sorted(
+        ((-sims[i, j], ids[i], ids[j]) for i, j in itertools.combinations(range(len(ids)), 2)),
+    )[:10]
+    want = [(a, b, -s) for s, a, b in allp]
+    assert got == want, f"collapse path diverged from brute force:\n{got}\nvs\n{want}"
