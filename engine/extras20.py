@@ -147,6 +147,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = nxt.localCheckpoint()
         visited = visited.union(nxt)
         frontier = nxt
+    # The returned plan is a union of the source row and the three
+    # CHECKPOINTED frontiers — no lineage through und remains — so the
+    # cached edge relation can be dropped here instead of leaking one
+    # ~MB-scale cache entry per invocation until context shutdown
+    # (ADVICE r06).
+    und.unpersist()
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
 
 

@@ -146,8 +146,13 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {THUMB} AS width, {THUMB} AS height,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(split(text, ''), c -> unicode(c)))
-                AS BIGINT) AS byte_sum
+           -- empty-text guard (ADVICE r06): DuckDB's split('', '') yields
+           -- [''] and unicode('') = -1, which would score an empty doc as
+           -- -1 while the engine emits 0; no current corpus has empty
+           -- texts, but a regenerated one must not break the attestation
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE list_sum(list_transform(split(text, ''), c -> unicode(c)))
+                END AS BIGINT) AS byte_sum
     FROM documents
     """,
 )
@@ -157,8 +162,12 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     block means are parsed back from the CSV JVM-side and folded into the
     payload's reconstructed byte total — round(Σ features × block_len),
     integer-exact because the 4-decimal feature rounding bounds the error
-    by 16·5e-5·block_len < 0.5 for any payload under ~600 KB (corpus docs
-    are <1 KB; a real thumbnail pipeline keeps cells ∝ payload anyway)."""
+    by 16·5e-5·block_len < 0.5, i.e. block_len ≤ 624 ⇔ payloads under
+    ~10 KB (625·16 bytes; ADVICE r06 corrected the earlier ~600 KB
+    claim). Corpus docs are <1 KB, and a payload PAST the envelope now
+    raises loudly instead of silently drifting the reconstruction off by
+    one and hash-mismatching the oracle (a real thumbnail pipeline keeps
+    cells ∝ payload anyway, staying inside the bound by construction)."""
     d = decode_features(spark, sf_dir)
     block_len = F.ceil(F.col("n_bytes") / F.lit(THUMB * THUMB)).cast("long")
     feat_sum = F.aggregate(
@@ -166,12 +175,24 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    byte_sum = F.when(
+        block_len > 624,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multimodal_decode_pipeline: payload exceeds the "
+                    "integer-exact reconstruction envelope (~10 KB) for doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.round(feat_sum * block_len).cast("long"))
     return d.select(
         "doc_id",
         "width",
         "height",
         "n_bytes",
-        F.round(feat_sum * block_len).cast("long").alias("byte_sum"),
+        byte_sum.alias("byte_sum"),
     ).orderBy("doc_id")
 
 

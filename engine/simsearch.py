@@ -117,7 +117,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 similar pairs via IVF: nlist deterministic
     coarse centroids (the nlist lowest-vec_id vectors; nlist = max(8,
-    sqrt(n/8)) from footer stats), each vector assigned to its
+    sqrt(n/32)) from footer stats — the e17ddf2 recalibration, pinned by
+    tests/test_adaptive_params.py), each vector assigned to its
     nprobe=3 nearest centroids, exact blocked search within each cluster,
     global top-k merge. Compare sim_topk_pairs for the exact answer;
     tests/test_simsearch.py pins the recall.
