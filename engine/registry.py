@@ -194,11 +194,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   moving_median pareto_cut period_over_period rank_shift_yoy
 #   rolling_corr time_weighted_avg
 # The 19 remaining r08 slots go to staleness rotation: re-attest the
-# oldest-green keys, starting with the r01 attestations (5+ rounds stale by
-# r08 — relational scans/joins/sets attested r01 and never re-checked),
-# oldest driver row first. Staleness policy: a green attestation older than
-# 4 rounds is eligible for a rotation slot once all keys have a first
-# attestation; first-time attestation always outranks re-attestation.
+# oldest-green keys, starting with the r01 attestations (39 keys are
+# 7 rounds stale by r08; their latest driver row is still r01), oldest
+# driver row first. Exact 19, in list order (the first 19 of the 39
+# r01-stale keys, alphabetical — recompute as {k: max round with a
+# CORRECTNESS row for k} if intermediate rounds re-attest any):
+#   agg_bool_bitagg agg_collect_sorted agg_conditional agg_count_distinct
+#   agg_cube agg_global agg_grouping_sets agg_regr_native agg_rollup
+#   agg_stats_corr agg_string_agg_ordered filter_compound
+#   filter_in_between_like filter_rlike join_asof_forward
+#   join_broadcast_hint join_cross join_full_outer join_interval
+# Staleness policy: a green attestation older than 4 rounds is eligible
+# for a rotation slot once all keys have a first attestation; first-time
+# attestation always outranks re-attestation.
 _WINDOW_ROUND = 7  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
