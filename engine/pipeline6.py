@@ -377,6 +377,14 @@ def refresh_against_index(
     within_drop = _within_new_losers(
         spark, nn.select("a_id", "b_id"), n_pairs_bound=pairs.count()
     )
+    # Everything downstream reads the CHECKPOINTED pairs (and within_drop
+    # is materialized eagerly inside _within_new_losers), so the
+    # signature/band caches are dead weight from here on — release them
+    # rather than leaking one pair of cache entries per invocation
+    # (refresh is called repeatedly per session: bench warm runs,
+    # rehearsals; same leak class as graph_bfs_hops' ADVICE r06 fix).
+    nb.unpersist()
+    new_sig.unpersist()
 
     # Manifest: classify every arrival exactly once.
     tag = (

@@ -420,7 +420,13 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vd = F.col("embedding").cast("array<double>")
-    normsq = F.round(
+    # bround (half-even), not round (half-up): cross-pair sims on the
+    # broadcast verify path come from np.round, which is half-even — a
+    # ‖v‖² landing exactly on a 0.00005 boundary must not round
+    # differently from a cross sim of the same value (measure-zero for
+    # real dot products, but the dup-collapse exactness test pins full
+    # equality against a numpy reference).
+    normsq = F.bround(
         F.aggregate(
             F.zip_with(vd, vd, lambda x, y: x * y),
             F.lit(0.0),
