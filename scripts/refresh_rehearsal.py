@@ -57,6 +57,11 @@ def main() -> int:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         n = batch.count()
+        # Each replication level is a DISTINCT batch plan, so its
+        # signature/band cache entries are dead weight once the level is
+        # timed — clear between levels (the engine deliberately leaves
+        # same-plan caches live for warm reuse; see refresh_against_index).
+        spark.catalog.clearCache()
         # warm once (plan/code paths), then time
         refresh_against_index(spark, batch, base).count()
         t0 = time.monotonic()
