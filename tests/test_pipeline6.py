@@ -146,3 +146,86 @@ def test_refresh_against_index_matches_monolithic_oracle(spark, duck):
     from tests.conftest import run_compare
 
     run_compare(spark, duck, "pipeline_incremental_refresh")
+
+
+def test_refresh_matches_reference_algebra_across_splits(spark, tmp_path):
+    """Beyond the registered %5 oracle: for several split moduli, the
+    stored-index refresh manifest must equal a reference computed
+    independently in Python from the monolithic pair kernel + plain set
+    algebra (exact gate, any-old-partner gate, min-id-keeper components).
+    Catches any asymmetry the index path could introduce for batch
+    shapes the driver never exercises."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from engine.llmops import minhash_near_pairs
+    from engine.pipeline6 import build_refresh_index, refresh_against_index
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    meta = {
+        r["doc_id"]: (r["source"], r["h"])
+        for r in d.withColumn("h", F.md5("text")).drop("text").collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_pairs(d).select("a_id", "b_id").collect()
+    ]
+
+    for m in (2, 3, 7):
+        new_ids = {i for i in meta if i % m == 0}
+        old_ids = set(meta) - new_ids
+        old_hashes = {meta[i][1] for i in old_ids}
+
+        ex_drop = {i for i in new_ids if meta[i][1] in old_hashes}
+        new1 = new_ids - ex_drop
+        near = defaultdict(set)
+        for a, b in pairs:
+            near[a].add(b)
+            near[b].add(a)
+        near_old = {i for i in new1 if near[i] & old_ids}
+        new2 = new1 - near_old
+        parent = {i: i for i in new2}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            if a in new2 and b in new2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        within = {i for i in new2 if find(i) != i}
+
+        want = defaultdict(lambda: [0, 0, 0, 0, 0])
+        for i in new_ids:
+            row = want[meta[i][0]]
+            row[0] += 1
+            if i in ex_drop:
+                row[1] += 1
+            elif i in near_old:
+                row[2] += 1
+            elif i in within:
+                row[3] += 1
+            else:
+                row[4] += 1
+
+        base = str(tmp_path / f"idx{m}")
+        build_refresh_index(spark, d.filter(F.col("doc_id") % m != 0), base)
+        got = {
+            r["source"]: [
+                r["n_arrived"],
+                r["drop_exact_vs_old"],
+                r["drop_near_vs_old"],
+                r["drop_within_new"],
+                r["n_accepted"],
+            ]
+            for r in refresh_against_index(
+                spark, d.filter(F.col("doc_id") % m == 0), base
+            ).collect()
+        }
+        assert got == dict(want), f"modulus {m}: {got} != {dict(want)}"
