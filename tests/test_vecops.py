@@ -139,3 +139,43 @@ def test_rp_lsh_exact_dup_collapse(spark, tmp_path):
     )[:10]
     want = [(a, b, -s) for s, a, b in allp]
     assert got == want, f"collapse path diverged from brute force:\n{got}\nvs\n{want}"
+
+
+def test_rp_lsh_dup_collapse_on_scale_verify_path(spark, tmp_path, monkeypatch):
+    """The dup-collapse prestage must compose with the no-broadcast
+    (join-based) verify path: zero the broadcast gate, run on a clone
+    corpus, and require the exact top-10 PAIR SET (values are compared
+    as sets of id pairs — the join path rounds JVM-side, the reference
+    numpy-side, and only measure-zero boundary values could differ)."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import engine.llmops as llmops
+    from engine.registry import QUERIES
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dup = base.unionByName(base.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    dup.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    monkeypatch.setattr(llmops, "_MAX_BROADCAST_VECTORS", 0)
+    res = QUERIES["sim_ann_rp_lsh"].__wrapped__(spark, str(tmp_path)).collect()
+    got = {(r["a_id"], r["b_id"]) for r in res}
+    assert len(got) == 10
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in dup.collect()
+    )
+    ids = [i for i, _ in rows]
+    m = np.stack([v for _, v in rows])
+    sims = np.round(m @ m.T, 4)
+    want = {
+        (a, b)
+        for s, a, b in sorted(
+            (-sims[i, j], ids[i], ids[j])
+            for i, j in itertools.combinations(range(len(ids)), 2)
+        )[:10]
+    }
+    assert got == want
