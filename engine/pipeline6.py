@@ -323,14 +323,22 @@ def refresh_against_index(
 
     # Candidates for BOTH near gates, verified in ONE tree (r07 fusion:
     # two separate verify trees + checkpoints measured 7.0 s vs 4.6 s at
-    # sf0.1). Gate-2 candidates: new band rows broadcast against one scan
-    # of the stored bands/. Gate-3 candidates: self-join of the capped new
-    # band rows. The a-side of every candidate is a new doc, so one
-    # verify pass against (new ∪ stored) signatures covers both — doc_ids
-    # are globally unique across the corpus split by construction.
+    # sf0.1). Gate-2 candidates: new band rows against one scan of the
+    # stored bands/ — BROADCAST only while the batch is provably small
+    # (the one-job count below; 50k docs × 16 band rows ≈ 25 MB payload).
+    # An unconditional broadcast OOMed the 16g local driver at the 100×
+    # (100k-doc) batch rehearsal — the new side is the GROWING side of
+    # this join, so past the bound it must shuffle like any fact-fact
+    # join. Gate-3 candidates: self-join of the capped new band rows.
+    # The a-side of every candidate is a new doc, so one verify pass
+    # against (new ∪ stored) signatures covers both — doc_ids are
+    # globally unique across the corpus split by construction.
+    n_batch = new.select("doc_id").count()
+    nb_a = nb.withColumnRenamed("doc_id", "a_id")
+    if n_batch <= 50_000:
+        nb_a = F.broadcast(nb_a)
     cross_cand = (
-        old_bands.join(F.broadcast(nb.withColumnRenamed("doc_id", "a_id")),
-                       ["band", "k1", "k2"])
+        old_bands.join(nb_a, ["band", "k1", "k2"])
         .select("a_id", F.col("doc_id").alias("b_id"))
         .distinct()
         .withColumn("within", F.lit(False))
@@ -366,7 +374,15 @@ def refresh_against_index(
 
     # Gate 3: components within the remaining new docs, min-id keeper.
     within_pairs = pairs.filter(F.col("within")).select("a_id", "b_id")
-    new2_ids = new2.select("doc_id")
+    # new2's id set is bounded by the batch size (longs only) but its
+    # LINEAGE carries the whole gate-1/2 subtree — the batch union scan,
+    # the md5 exact gate, two anti-joins. It fans into the components
+    # stage twice; checkpoint the ids once so the union-find collect (or
+    # the Pregel rounds) runs over two checkpointed relations instead of
+    # re-executing that subtree per consumer — at the 100×-batch
+    # rehearsal the un-checkpointed version OOMed the 16g driver inside
+    # the collect's job.
+    new2_ids = new2.select("doc_id").localCheckpoint()
     nn = (
         within_pairs.join(
             new2_ids, within_pairs["a_id"] == new2_ids["doc_id"], "left_semi"

@@ -56,6 +56,14 @@ def main() -> int:
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
+        # Materialize the batch as parquet and refresh from the READ: a
+        # real arriving batch is a file, not an N-way union plan — at
+        # 100× the union shape made every gate re-scan the corpus once
+        # per branch (100 scans/execution, driver OOM), which measures
+        # the synthetic plan, not the refresh.
+        bdir = tempfile.mkdtemp(prefix=f"sg-refresh-batch-{r}x-")
+        batch.write.mode("overwrite").parquet(f"{bdir}/batch.parquet")
+        batch = spark.read.parquet(f"{bdir}/batch.parquet")
         n = batch.count()
         # Each replication level is a DISTINCT batch plan, so its
         # signature/band cache entries are dead weight once the level is
