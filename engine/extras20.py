@@ -140,22 +140,27 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        # Only the frontier needs materializing (it feeds BOTH the next
-        # round's expansion and the visited anti-join); the visited union
-        # tree is three unions over already-checkpointed frontiers — cheap
-        # to rescan, not worth its own checkpoint job per round.
-        nxt = nxt.localCheckpoint()
+        # NO per-round checkpoint (r07): each frontier is referenced
+        # twice per round (next expansion + visited anti-join), so the
+        # un-materialized plan holds 2^3 copies of the deepest subtree —
+        # but the hop bound is a FIXED 3, the copies end in identical
+        # exchanges, and Spark's ReusedExchange dedups their execution
+        # (15 ReusedExchange nodes in the executed plan; each frontier
+        # computes once). One plan, zero materialization jobs: measured
+        # 3.42 s -> 2.94 s warm at sf0.1 vs the per-round localCheckpoint
+        # shape. An UNBOUNDED-depth traversal must go back to per-round
+        # checkpoints (exponential plan size past ~8 rounds) — that shape
+        # is what min_label_components uses for its data-dependent loop.
         visited = visited.union(nxt)
         frontier = nxt
-    # The returned plan is a union of the source row and the three
-    # CHECKPOINTED frontiers — no lineage through und remains. The edge
-    # cache is deliberately NOT unpersisted (ADVICE r06 offered either
-    # release or documented retention): Spark deduplicates cache entries
-    # by logical plan, so repeat invocations hold ONE ~MB entry per
-    # sf_dir — not one per call — and reuse it for their frontier
-    # rounds (measured 2.86 s vs 3.45 s warm at sf0.1 with an eager
-    # unpersist). Same convention as minhash_near_pairs and
-    # refresh_against_index; MEMORY_AND_DISK spills under pressure.
+    # The returned (lazy) plan references und in every round, so the
+    # edge cache must outlive this function — NOT unpersisted, per the
+    # engine convention (ADVICE r06 offered either release or documented
+    # retention): Spark deduplicates cache entries by logical plan, so
+    # repeat invocations hold ONE ~MB entry per sf_dir — not one per
+    # call — and every frontier round reads it as an InMemoryTableScan.
+    # Same convention as minhash_near_pairs and refresh_against_index;
+    # MEMORY_AND_DISK spills under pressure.
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
 
 
