@@ -29,6 +29,13 @@ from engine.tables import load, sftag
 # collected — the guard makes the capstone total-safe at any batch shape.
 _UNION_FIND_MAX_PAIRS = 100_000
 
+# Broadcast the new-side band rows into the stored-index join only while
+# the batch is provably small (≤ this many docs ⇒ ≤ 16× band rows ≈
+# 25 MB payload); past it the new side is a growing fact relation and
+# must shuffle — an unconditional broadcast OOMed the 16g local driver
+# at the 100k-doc batch rehearsal.
+_BROADCAST_BATCH_MAX_DOCS = 50_000
+
 
 def _within_new_losers(
     spark: SparkSession,
@@ -325,17 +332,17 @@ def refresh_against_index(
     # two separate verify trees + checkpoints measured 7.0 s vs 4.6 s at
     # sf0.1). Gate-2 candidates: new band rows against one scan of the
     # stored bands/ — BROADCAST only while the batch is provably small
-    # (the one-job count below; 50k docs × 16 band rows ≈ 25 MB payload).
-    # An unconditional broadcast OOMed the 16g local driver at the 100×
-    # (100k-doc) batch rehearsal — the new side is the GROWING side of
-    # this join, so past the bound it must shuffle like any fact-fact
-    # join. Gate-3 candidates: self-join of the capped new band rows.
-    # The a-side of every candidate is a new doc, so one verify pass
-    # against (new ∪ stored) signatures covers both — doc_ids are
+    # (the one-job count below vs _BROADCAST_BATCH_MAX_DOCS, read off
+    # the module so tests can force the shuffle path; rationale at the
+    # constant). Gate-3 candidates: self-join of the capped new band
+    # rows. The a-side of every candidate is a new doc, so one verify
+    # pass against (new ∪ stored) signatures covers both — doc_ids are
     # globally unique across the corpus split by construction.
+    import engine.pipeline6 as _self
+
     n_batch = new.select("doc_id").count()
     nb_a = nb.withColumnRenamed("doc_id", "a_id")
-    if n_batch <= 50_000:
+    if n_batch <= _self._BROADCAST_BATCH_MAX_DOCS:
         nb_a = F.broadcast(nb_a)
     cross_cand = (
         old_bands.join(nb_a, ["band", "k1", "k2"])

@@ -229,3 +229,33 @@ def test_refresh_matches_reference_algebra_across_splits(spark, tmp_path):
             ).collect()
         }
         assert got == dict(want), f"modulus {m}: {got} != {dict(want)}"
+
+
+def test_refresh_shuffle_path_matches_broadcast_path(spark, tmp_path, monkeypatch):
+    """Large batches take the shuffle join instead of broadcasting the
+    new-side band rows (the unconditional broadcast OOMed at the
+    100k-doc rehearsal). Force the threshold to 0 and require the
+    manifest to be identical to the broadcast path's."""
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    is_new = F.col("doc_id") % 5 == 0
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(~is_new), base)
+
+    def manifest():
+        return sorted(
+            tuple(r) for r in p6.refresh_against_index(
+                spark, d.filter(is_new), base
+            ).collect()
+        )
+
+    via_broadcast = manifest()
+    monkeypatch.setattr(p6, "_BROADCAST_BATCH_MAX_DOCS", 0)
+    via_shuffle = manifest()
+    assert via_broadcast == via_shuffle
+    # row = (source, n_arrived, drop_exact, drop_near_vs_old, ...)
+    assert sum(r[3] for r in via_broadcast) > 0  # near-vs-old gate fired
