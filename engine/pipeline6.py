@@ -257,9 +257,12 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     band rows are derived from the WRITTEN sigs parquet (one shingle pass
     total, and the derive is a 32-int-column projection). At 100 TB the
     artifacts are appended per accepted batch — band rows partition by
-    their (k1) hash prefix naturally under parquet, and the refresh join
-    below broadcasts the (small) new side so the stored index streams
-    through one scan, no shuffle of the old side."""
+    their (k1) hash prefix naturally under parquet. For batches under
+    _BROADCAST_BATCH_MAX_DOCS the refresh join broadcasts the new side
+    so the stored index streams through one scan with no shuffle of the
+    old side; past that bound the new side is a growing fact relation
+    and refresh_against_index deliberately takes the shuffle join (see
+    the constant's rationale)."""
     from engine.llmops import LSH_BUCKET_CAP, lsh_band_rows, minhash_signatures
 
     accepted.select(F.md5("text").alias("h")).distinct().write.mode(
@@ -338,11 +341,9 @@ def refresh_against_index(
     # rows. The a-side of every candidate is a new doc, so one verify
     # pass against (new ∪ stored) signatures covers both — doc_ids are
     # globally unique across the corpus split by construction.
-    import engine.pipeline6 as _self
-
     n_batch = new.select("doc_id").count()
     nb_a = nb.withColumnRenamed("doc_id", "a_id")
-    if n_batch <= _self._BROADCAST_BATCH_MAX_DOCS:
+    if n_batch <= _BROADCAST_BATCH_MAX_DOCS:
         nb_a = F.broadcast(nb_a)
     cross_cand = (
         old_bands.join(nb_a, ["band", "k1", "k2"])

@@ -395,7 +395,13 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = (
             cand.join(ea, "a_id")
             .join(eb, "b_id")
-            .select("a_id", "b_id", F.round(dot, 4).alias("sim"))
+            # bround (half-even) to match np.round on the broadcast path
+            # and the intra-group normsq below — one rounding mode for
+            # every sim this operator emits. (Real dot products never
+            # land on an exact 4-decimal tie, which is also why either
+            # mode agrees with the DuckDB oracle's half-up round; the
+            # consistency matters for the dup-collapse exactness tests.)
+            .select("a_id", "b_id", F.bround(dot, 4).alias("sim"))
         )
     if g is None:  # dup-free: reps ≡ vectors, nothing to expand
         return res.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -83,6 +84,10 @@ def main() -> int:
         print(f"| {r}x | {n} | {times[r]:.2f} | {exp if exp == exp else '—'} |"
               if r == reps[0]
               else f"| {r}x | {n} | {times[r]:.2f} | {exp:.2f} |")
+        # The materialized batch (up to GBs at 100×) is only needed until
+        # its level is timed; leaking it would fill /tmp across repeated
+        # rehearsals and fail later spill/checkpoint writes.
+        shutil.rmtree(bdir, ignore_errors=True)
     return 0
 
 
