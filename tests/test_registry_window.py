@@ -60,26 +60,34 @@ def test_window_round_is_next_unwritten_round():
     )
 
 
-def test_window_targets_unattested_or_graduating_keys():
-    """Every slot must buy new driver evidence: either the key has no
+def test_window_targets_unattested_graduating_or_stale_keys():
+    """Every slot must buy new driver evidence: the key has no
     CORRECTNESS row from any round before _WINDOW_ROUND, or its only
     prior rows were the weaker rows-only check (err == 'no_oracle') and
-    it is graduating to FULL."""
-    prior: dict[str, list] = {}
+    it is graduating to FULL, or — the registry's staleness-rotation
+    policy, legal only once every key has a first attestation — its
+    newest green row is at least 4 rounds older than the window's round
+    (the r08 plan re-attests the oldest r01 greens)."""
+    prior: dict[str, list[tuple[int, dict]]] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m is None or int(m.group(1)) >= _WINDOW_ROUND:
             continue
         for k, v in json.load(open(f)).items():
-            prior.setdefault(k, []).append(v)
+            prior.setdefault(k, []).append((int(m.group(1)), v))
+    queries, _ = collect()
+    all_attested = all(k in prior for k in queries)
     wasted = []
     for k in _ATTEST_FIRST:
         rows = prior.get(k)
         if rows is None:
             continue  # never attested: the slot buys a first attestation
-        if not any(r.get("hash_match") for r in rows):
+        green = [rnd for rnd, r in rows if r.get("hash_match")]
+        if not green:
             # only rows-only or error history: the slot buys the first
             # FULL hash-match attestation
             continue
+        if all_attested and max(green) <= _WINDOW_ROUND - 4:
+            continue  # staleness rotation: refreshing a ≥4-round-old green
         wasted.append(k)
     assert not wasted, f"window slots re-attesting already-green keys: {wasted}"
