@@ -139,3 +139,47 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"], r
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=300, deadline=None)
+def test_dup_collapse_member_truncation_law(sizes, seed):
+    """The r07 rp-lsh collapse claims: truncating each exact-dup group's
+    member list to its k+1 smallest ids is decision-preserving for the
+    global top-k under (sim desc, a_id, b_id) ordering — both for
+    cross-group blocks (every member pair carries the block's sim) and
+    intra-group blocks. Pure-python model of the expansion, sims drawn
+    from a tiny value set so ties across blocks are the COMMON case, not
+    the rare one."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    k = 3  # smaller k than production stresses the bound harder
+    # disjoint sorted member lists with irregular gaps
+    ids = iter(range(0, 10_000, rng.choice([1, 3, 7])))
+    groups = [sorted(itertools.islice(ids, n)) for n in sizes]
+    sim_values = [0.9, 0.5, 0.5, 0.1]  # duplicates force cross-block ties
+
+    def pairs_from(gs):
+        out = []
+        for gi, gj in itertools.combinations(range(len(gs)), 2):
+            s = rng.choice(sim_values)
+            for a in gs[gi]:
+                for b in gs[gj]:
+                    out.append((-s, min(a, b), max(a, b)))
+        for g in gs:
+            if len(g) >= 2:
+                s = rng.choice(sim_values)
+                for a, b in itertools.combinations(g, 2):
+                    out.append((-s, a, b))
+        return out
+
+    rng_state = rng.getstate()
+    full = sorted(pairs_from(groups))[:k]
+    rng.setstate(rng_state)  # identical block sims for the truncated run
+    trunc = sorted(pairs_from([g[: k + 1] for g in groups]))[:k]
+    assert full == trunc
