@@ -265,11 +265,56 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     the constant's rationale)."""
     from engine.llmops import LSH_BUCKET_CAP, lsh_band_rows, minhash_signatures
 
-    accepted.select(F.md5("text").alias("h")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{base}/exact")
-    minhash_signatures(accepted).write.mode("overwrite").parquet(f"{base}/sigs")
-    sig_back = spark.read.parquet(f"{base}/sigs")
+    _write_index_increment(spark, accepted, base, mode="overwrite")
+
+
+def append_to_refresh_index(
+    spark: SparkSession, accepted: DataFrame, base: str
+) -> None:
+    """Append a newly ACCEPTED batch's dedup state to an existing index —
+    the write half of the production refresh loop: refresh gates a batch
+    against the index, then the survivors are appended so the NEXT batch
+    sees them as accepted corpus. Same three artifacts, parquet
+    mode=append (new part files; no rewrite of the existing bytes), so
+    index maintenance is O(batch) — the accepted corpus's text is never
+    re-read, exactly like refresh itself.
+
+    Bucket-cap semantics under append (the LSM trade): the cap is
+    applied WITHIN each increment, so a stored bucket can exceed the cap
+    across increments — candidate fan-out per refresh is then bounded by
+    cap × #increments for that bucket rather than cap. Correctness is
+    unaffected (verification is exact); a periodic compaction — re-run
+    build_refresh_index over the full accepted corpus, the same way LSM
+    trees re-merge runs — restores the global cap when increments
+    accumulate. tests/test_pipeline6.py::test_refresh_index_append_loop
+    drives two generations end-to-end."""
+    _write_index_increment(spark, accepted, base, mode="append")
+
+
+def _write_index_increment(
+    spark: SparkSession, accepted: DataFrame, base: str, *, mode: str
+) -> None:
+    from engine.llmops import LSH_BUCKET_CAP, lsh_band_rows, minhash_signatures
+
+    accepted.select(F.md5("text").alias("h")).distinct().write.mode(mode).parquet(
+        f"{base}/exact"
+    )
+    if mode == "overwrite":
+        # One shingle pass: write sigs, derive bands from the WRITTEN
+        # parquet (a 32-int-column projection read).
+        minhash_signatures(accepted).write.mode(mode).parquet(f"{base}/sigs")
+        sig_back = spark.read.parquet(f"{base}/sigs")
+    else:
+        # Append: the band derive must see ONLY this increment's
+        # signatures (reading {base}/sigs back after appending would
+        # re-band the whole corpus), so hold the increment in cache for
+        # the two consumers instead of reading back.
+        from pyspark import StorageLevel
+
+        sig_back = minhash_signatures(accepted).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sig_back.write.mode("append").parquet(f"{base}/sigs")
     (
         lsh_band_rows(sig_back)
         .withColumn(
@@ -277,7 +322,7 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
         )
         .filter(F.col("bsz") <= LSH_BUCKET_CAP)
         .drop("bsz")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{base}/bands")
     )
 

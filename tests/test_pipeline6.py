@@ -259,3 +259,78 @@ def test_refresh_shuffle_path_matches_broadcast_path(spark, tmp_path, monkeypatc
     assert via_broadcast == via_shuffle
     # row = (source, n_arrived, drop_exact, drop_near_vs_old, ...)
     assert sum(r[3] for r in via_broadcast) > 0  # near-vs-old gate fired
+
+
+def test_refresh_index_append_loop(spark, tmp_path):
+    """The full production loop across two generations: refresh batch A
+    against the base index, APPEND A's accepted docs to the index, then
+    refresh batch B — B's docs that near-duplicate A-accepted docs must
+    now drop at the near-vs-old gate, and B's manifest must equal the
+    one a from-scratch rebuild over (old ∪ accepted-A) produces."""
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    old, batch_a, batch_b = d.filter(m5 > 1), d.filter(m5 == 0), d.filter(m5 == 1)
+
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, old, base)
+    # materialize A's manifest before the index it reads is mutated
+    man_a = p6.refresh_against_index(spark, batch_a, base).collect()
+    assert man_a
+    # The manifest aggregates per source; reconstruct A's doc-level
+    # accepted set independently (same set algebra as the cross-split
+    # reference test) to know exactly which docs to append.
+    from engine.llmops import minhash_near_pairs
+
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_pairs(d).select("a_id", "b_id").collect()
+    ]
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    old_ids, a_ids = ids(old), ids(batch_a)
+    import collections
+
+    near = collections.defaultdict(set)
+    for a, b in pairs:
+        near[a].add(b)
+        near[b].add(a)
+    # no exact dups in this corpus, so gate 1 drops nothing
+    near_old_a = {i for i in a_ids if near[i] & old_ids}
+    rest = sorted(a_ids - near_old_a)
+    parent = {i: i for i in rest}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    accepted_ids = sorted((a_ids - near_old_a) - {i for i in rest if find(i) != i})
+    accepted_a = batch_a.filter(F.col("doc_id").isin(accepted_ids))
+
+    # generation 2: append accepted-A, refresh B against the grown index
+    p6.append_to_refresh_index(spark, accepted_a, base)
+    got = sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch_b, base).collect()
+    )
+
+    # reference: a from-scratch index over old ∪ accepted-A
+    base2 = str(tmp_path / "idx2")
+    p6.build_refresh_index(spark, old.unionByName(accepted_a), base2)
+    want = sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch_b, base2).collect()
+    )
+    assert got == want
+    # and the appended generation actually changes B's outcome: some B doc
+    # must near-dup an A-accepted doc (the corpus plants near-dup chains)
+    b_ids = ids(batch_b)
+    assert any(near[i] & set(accepted_ids) for i in b_ids)
