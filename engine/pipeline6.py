@@ -256,7 +256,8 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     The only stage that reads ``accepted.text`` is the signature pass; the
     band rows are derived from the WRITTEN sigs parquet (one shingle pass
     total, and the derive is a 32-int-column projection). At 100 TB the
-    artifacts are appended per accepted batch — band rows partition by
+    artifacts are appended per accepted batch (append_to_refresh_index —
+    the write half of the refresh loop) — band rows partition by
     their (k1) hash prefix naturally under parquet. For batches under
     _BROADCAST_BATCH_MAX_DOCS the refresh join broadcasts the new side
     so the stored index streams through one scan with no shuffle of the
