@@ -210,6 +210,23 @@ def lsh_band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
+def capped_lsh_band_rows(sig: DataFrame) -> DataFrame:
+    """lsh_band_rows with the kernel's non-discriminative-bucket guard
+    applied: buckets larger than LSH_BUCKET_CAP are dropped entirely
+    (their keys are corpus-common minima, not similarity signal — full
+    rationale at dedup_near_minhash). Shared by the one-shot kernel and
+    the persisted-index build/refresh paths so cap semantics can't
+    drift between them."""
+    return (
+        lsh_band_rows(sig)
+        .withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
+        )
+        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+
+
 def verify_near_pairs(
     cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame
 ) -> DataFrame:
@@ -282,10 +299,7 @@ def minhash_near_pairs(d: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     mins = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = lsh_band_rows(mins)
-    sig = sig.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
-    ).filter(F.col("bsz") <= LSH_BUCKET_CAP)
+    sig = capped_lsh_band_rows(mins)
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "k1", "k2"])

@@ -12,11 +12,11 @@ refresh is O(new × collisions), not O((old+new)²).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from engine.registry import query
 from engine.tables import load, sftag
@@ -225,8 +225,6 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver checks), keyed on the parquet's (path, mtime, size) so a
     # regenerated corpus rebuilds. Deleting the temp dir under a live
     # entry just makes the next call rebuild (reads would fail loudly).
-    import os
-
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ck = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
@@ -264,8 +262,6 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     old side; past that bound the new side is a growing fact relation
     and refresh_against_index deliberately takes the shuffle join (see
     the constant's rationale)."""
-    from engine.llmops import LSH_BUCKET_CAP, lsh_band_rows, minhash_signatures
-
     _write_index_increment(spark, accepted, base, mode="overwrite")
 
 
@@ -295,7 +291,7 @@ def append_to_refresh_index(
 def _write_index_increment(
     spark: SparkSession, accepted: DataFrame, base: str, *, mode: str
 ) -> None:
-    from engine.llmops import LSH_BUCKET_CAP, lsh_band_rows, minhash_signatures
+    from engine.llmops import capped_lsh_band_rows, minhash_signatures
 
     accepted.select(F.md5("text").alias("h")).distinct().write.mode(mode).parquet(
         f"{base}/exact"
@@ -316,16 +312,7 @@ def _write_index_increment(
             StorageLevel.MEMORY_AND_DISK
         )
         sig_back.write.mode("append").parquet(f"{base}/sigs")
-    (
-        lsh_band_rows(sig_back)
-        .withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
-        )
-        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
-        .drop("bsz")
-        .write.mode(mode)
-        .parquet(f"{base}/bands")
-    )
+    capped_lsh_band_rows(sig_back).write.mode(mode).parquet(f"{base}/bands")
 
 
 def refresh_against_index(
@@ -348,8 +335,7 @@ def refresh_against_index(
     from pyspark import StorageLevel
 
     from engine.llmops import (
-        LSH_BUCKET_CAP,
-        lsh_band_rows,
+        capped_lsh_band_rows,
         minhash_signatures,
         verify_near_pairs,
     )
@@ -367,15 +353,7 @@ def refresh_against_index(
     # Capped band rows of the new batch: three consumers (cross broadcast,
     # self-join x/y); small (16 rows/doc), so persist rather than re-run
     # the band window per consumer.
-    nb = (
-        lsh_band_rows(new_sig)
-        .withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("band", "k1", "k2"))
-        )
-        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
-        .drop("bsz")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    nb = capped_lsh_band_rows(new_sig).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Candidates for BOTH near gates, verified in ONE tree (r07 fusion:
     # two separate verify trees + checkpoints measured 7.0 s vs 4.6 s at
@@ -387,7 +365,10 @@ def refresh_against_index(
     # rows. The a-side of every candidate is a new doc, so one verify
     # pass against (new ∪ stored) signatures covers both — doc_ids are
     # globally unique across the corpus split by construction.
-    n_batch = new.select("doc_id").count()
+    # Counting the persisted signatures (== batch docs) rather than the
+    # raw batch makes the sizing job double as new_sig's cache
+    # materialization — one job instead of two.
+    n_batch = new_sig.count()
     nb_a = nb.withColumnRenamed("doc_id", "a_id")
     if n_batch <= _BROADCAST_BATCH_MAX_DOCS:
         nb_a = F.broadcast(nb_a)
@@ -405,8 +386,7 @@ def refresh_against_index(
         .distinct()
         .withColumn("within", F.lit(True))
     )
-    sig_cols = new_sig.columns  # doc_id, m0..m31, hs
-    all_sigs = new_sig.select(sig_cols).unionByName(old_sigs.select(sig_cols))
+    all_sigs = new_sig.unionByName(old_sigs.select(*new_sig.columns))
     # Tiny (near-dup pairs touching the batch); ONE checkpoint job
     # materializes both gates' verified pairs so the three consumers below
     # (gate-2 anti-join, gate-3 components, manifest joins) never re-run
