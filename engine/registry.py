@@ -172,100 +172,92 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (text analysis, dedup/embedding, scans). The final 2 slots attest the
 # r06 ROWS->FULL graduations (multimodal_decode_pipeline,
 # scan_binary_files) so their first hash-match rows land on driver record.
-# r07 window (this list): the first 50 of the 81-key never-attested
-# remainder recorded by the r06 registry comment and re-derived this round
-# as set(queries) − union(CORRECTNESS_r01..r06 keys) — aggs (20), emb (3),
-# etl (14), fn (8), join (3), and 2 of the 3 sample keys. All were green in
-# the r06 session's independent 364-key driver sim and stay covered every
-# round by the sf0.001 pytest oracle layer and scripts/driver_sim.py.
-#
-# r08 window head — the remaining 31 never-attested keys (pre-registered
-# per VERDICT r06 item 5; swap these in at r08 start):
-# sample (1): negative_pairs
-# scan (5): csv_dialect csv_multichar_delim recursive_glob text_wholefile
-#   xml_roundtrip
-# sink (3): atomic_publish hive_partitioned parquet_bloom_filter
-# sql (12): distribute_by execute_immediate group_by_all join_hints
-#   lateral_view named_window_clause ordinal_alias_resolution
-#   session_variable star_except_order_all tvf_date_spine udf_sql_function
-#   values_inline_table
-# subq (1): multicol_in
-# win (9): concurrency_sweep drawdown_max moving_distinct_count
-#   moving_median pareto_cut period_over_period rank_shift_yoy
-#   rolling_corr time_weighted_avg
-# The 19 remaining r08 slots go to staleness rotation: re-attest the
-# oldest-green keys, starting with the r01 attestations (39 keys are
-# 7 rounds stale by r08; their latest driver row is still r01), oldest
-# driver row first. Exact 19, in list order (the first 19 of the 39
-# r01-stale keys, alphabetical — recompute as {k: max round with a
-# CORRECTNESS row for k} if intermediate rounds re-attest any):
-#   agg_bool_bitagg agg_collect_sorted agg_conditional agg_count_distinct
-#   agg_cube agg_global agg_grouping_sets agg_regr_native agg_rollup
-#   agg_stats_corr agg_string_agg_ordered filter_compound
-#   filter_in_between_like filter_rlike join_asof_forward
-#   join_broadcast_hint join_cross join_full_outer join_interval
+# r07 window: the first 50 of the 81-key never-attested remainder — aggs
+# (20), emb (3), etl (14), fn (8), join (3), and 2 of the 3 sample keys.
+# Came back 50/50 green (CORRECTNESS_r07.json), bringing cumulative driver
+# attestation to 333/364.
+# r08 window (this list): the remaining 31 never-attested keys — after
+# this round, EVERY key in the inventory has a driver CORRECTNESS row —
+# plus the first 19 staleness-rotation slots (the oldest-green keys: 39
+# keys' latest driver row is still r01, 7 rounds stale; first 19
+# alphabetical).
 # Staleness policy: a green attestation older than 4 rounds is eligible
 # for a rotation slot once all keys have a first attestation; first-time
 # attestation always outranks re-attestation.
-_WINDOW_ROUND = 7  # CORRECTNESS_r0{N}.json this window is aimed at
+#
+# r09 window pre-registration (swap in at r09 start): the 20 remaining
+# r01-stale keys first —
+#   join_left_anti join_left_outer join_left_semi join_natural_using
+#   join_right_outer join_theta_range limit_offset project_rename_compute
+#   scan_csv_roundtrip scan_json_lines set_except set_except_all
+#   set_intersect set_intersect_all set_union_all set_union_distinct
+#   set_union_mixed_schema sink_parquet_roundtrip topk_order_limit
+#   topk_rank_with_ties
+# — then fill the remaining 30 slots with the oldest r02 greens (r02 rows
+# are 7 rounds stale by r09), alphabetical, recomputing
+# {k: max round with a green CORRECTNESS row for k} over r01..r08 files
+# in case intermediate rounds re-attested any.
+_WINDOW_ROUND = 8  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    # statistical / analytical aggregations (never windowed)
-    "agg_ab_ttest",
-    "agg_benford_digit_audit",
-    "agg_covariance_matrix",
-    "agg_dau_mau",
-    "agg_gini_concentration",
-    "agg_grouping_id",
-    "agg_histogram_2d",
-    "agg_hour_dow_heatmap",
-    "agg_listagg_native",
-    "agg_mad_robust",
-    "agg_markov_transitions",
-    "agg_new_vs_returning",
-    "agg_percentile_cont_disc",
-    "agg_rate_smoothing",
-    "agg_rfm_segmentation",
-    "agg_seasonality_index",
-    "agg_share_of_parent",
-    "agg_skyline_pareto_frontier",
-    "agg_top_paths",
-    "agg_weighted_moments",
-    # embedding diagnostics
-    "emb_centroid_confusion",
-    "emb_cosine_histogram",
-    "emb_dim_variance_rank",
-    # ETL patterns
-    "etl_anomaly_iqr_fences",
-    "etl_attribution_last_touch",
-    "etl_checksum_reconcile",
-    "etl_conversion_latency",
-    "etl_golden_record",
-    "etl_incremental_agg_merge",
-    "etl_interval_audit",
-    "etl_multi_sink_fanout",
-    "etl_ohlc_resample",
-    "etl_partition_overwrite_dynamic",
-    "etl_retention_cohort",
-    "etl_shard_manifest",
-    "etl_surrogate_hash_keys",
-    "etl_targeted_erasure",
-    # scalar-function surface
-    "fn_binary_base64",
-    "fn_regexp_extract_all",
-    "fn_round_half_even",
-    "fn_timestamp_multiformat_parse",
-    "fn_to_char_number",
-    "fn_ulid_sortable_id",
-    "fn_unix_epoch",
-    "fn_zorder_encode",
-    # join variants
-    "join_asof_tolerance",
-    "join_scd2_pointintime",
-    "join_spatial_grid",
+    # --- 31 never-attested keys: completes 364/364 driver attestation ---
     # sampling
-    "sample_bootstrap_poisson",
-    "sample_kfold_assign",
+    "sample_negative_pairs",
+    # scan dialects / layouts
+    "scan_csv_dialect",
+    "scan_csv_multichar_delim",
+    "scan_recursive_glob",
+    "scan_text_wholefile",
+    "scan_xml_roundtrip",
+    # sinks
+    "sink_atomic_publish",
+    "sink_hive_partitioned",
+    "sink_parquet_bloom_filter",
+    # SQL surface
+    "sql_distribute_by",
+    "sql_execute_immediate",
+    "sql_group_by_all",
+    "sql_join_hints",
+    "sql_lateral_view",
+    "sql_named_window_clause",
+    "sql_ordinal_alias_resolution",
+    "sql_session_variable",
+    "sql_star_except_order_all",
+    "sql_tvf_date_spine",
+    "sql_udf_sql_function",
+    "sql_values_inline_table",
+    # subqueries
+    "subq_multicol_in",
+    # window functions
+    "win_concurrency_sweep",
+    "win_drawdown_max",
+    "win_moving_distinct_count",
+    "win_moving_median",
+    "win_pareto_cut",
+    "win_period_over_period",
+    "win_rank_shift_yoy",
+    "win_rolling_corr",
+    "win_time_weighted_avg",
+    # --- 19 staleness-rotation slots: oldest (r01) greens, alphabetical ---
+    "agg_bool_bitagg",
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_regr_native",
+    "agg_rollup",
+    "agg_stats_corr",
+    "agg_string_agg_ordered",
+    "filter_compound",
+    "filter_in_between_like",
+    "filter_rlike",
+    "join_asof_forward",
+    "join_broadcast_hint",
+    "join_cross",
+    "join_full_outer",
+    "join_interval",
 ]
 
 
