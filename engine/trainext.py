@@ -325,11 +325,36 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("rep_key"))
     )
+    # Candidate generation reuses dedup_fuzzy_edit's lossless length-band
+    # equi-join: |len(a)-len(b)| <= k is necessary for lev <= k, so banding
+    # by floor(len/(k+1)) with ±1-band explosion on one side prunes the
+    # vocab×vocab pair space to a hash join on `band` — no cartesian, and
+    # the expensive levenshtein runs only on band survivors. The vocabulary
+    # is post-aggregation (64 names from 2k parts; MB-scale from TB-scale
+    # input), but the band join costs the same here and stays sub-quadratic
+    # if the vocabulary ever grows with the catalog.
     k = 2
-    a = vocab.select(F.col("p_name").alias("na"), F.col("rep_key").alias("src"))
-    b = vocab.select(F.col("p_name").alias("nb"), F.col("rep_key").alias("dst"))
+    band = (F.length("p_name") / (k + 1)).cast("int")
+    a = vocab.select(
+        F.col("p_name").alias("na"),
+        F.col("rep_key").alias("src"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.length("p_name") - k) / (k + 1)).cast("int"),
+                    band,
+                    ((F.length("p_name") + k) / (k + 1)).cast("int"),
+                )
+            )
+        ).alias("band"),
+    )
+    b = vocab.select(
+        F.col("p_name").alias("nb"),
+        F.col("rep_key").alias("dst"),
+        band.alias("band"),
+    )
     edges = (
-        a.crossJoin(b)
+        a.join(b, "band")
         .filter(
             (F.col("src") < F.col("dst"))
             & (F.abs(F.length("na") - F.length("nb")) <= k)
@@ -337,10 +362,6 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
     )
-    # NOTE on the crossJoin: the vocabulary is post-aggregation (64 rows from
-    # 2k parts; MBs from TBs at scale) — if it were ever large, swap in the
-    # length-band equi-join used by dedup_fuzzy_edit. Edges are tiny either
-    # way, so they are collected-free and broadcast below.
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = min_label_components(
         und,
