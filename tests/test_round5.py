@@ -31,14 +31,14 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_triangle_count_matches_bruteforce(spark):
-    """Per-node triangle counts must equal a driver-side brute force over
-    the same strong-edge set (25 nodes — exhaustive is cheap here)."""
+def _bruteforce_triangles(spark, threshold_mult):
+    """Driver-side exhaustive triangle membership over the same strong-edge
+    derivation (25 nodes — exhaustive is cheap here)."""
     from engine.graphops import _trade_edges
 
-    e = _trade_edges(spark, SF_DIR)
     u = (
-        e.filter(F.col("src") != F.col("dst"))
+        _trade_edges(spark, SF_DIR)
+        .filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
@@ -49,18 +49,64 @@ def test_triangle_count_matches_bruteforce(spark):
         .collect()
     )
     mean_w = sum(r["w"] for r in u) / len(u)
-    edges = {(r["a"], r["b"]) for r in u if r["w"] > 1.5 * mean_w}
+    edges = {(r["a"], r["b"]) for r in u if r["w"] > threshold_mult * mean_w}
     nodes = sorted({n for ab in edges for n in ab})
     expected: dict[int, int] = {}
     for x, y, z in combinations(nodes, 3):
         if (x, y) in edges and (y, z) in edges and (x, z) in edges:
             for n in (x, y, z):
                 expected[n] = expected.get(n, 0) + 1
+    return expected
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts must equal a driver-side brute force over
+    the same strong-edge set."""
     got = {
         r["n_nationkey"]: r["n_triangles"]
         for r in _q("graph_triangle_count")(spark, SF_DIR).collect()
     }
-    assert got == expected
+    assert got == _bruteforce_triangles(spark, 1.5)
+
+
+def test_triangle_nonempty_at_loosened_gate(spark):
+    """The default 1.5×-mean gate can legitimately leave zero strong
+    edges at some corpus scales, which makes the brute-force cross-check
+    above vacuous — so pin the NON-empty path on the real corpus too: at
+    a 1.25×-mean gate this corpus must produce triangles, and they must
+    still match the brute force exactly."""
+    from engine.graphops import _trade_edges, triangle_participation
+
+    got = {
+        r["n_nationkey"]: r["n_triangles"]
+        for r in triangle_participation(_trade_edges(spark, SF_DIR), 1.25).collect()
+    }
+    assert sum(got.values()) > 0, "loosened gate still produced no triangles"
+    assert got == _bruteforce_triangles(spark, 1.25)
+
+
+def test_triangle_pinned_fixture(spark):
+    """Exact output on a hand-built graph: five strong pairs forming the
+    triangles (1,2,3) and (2,3,4) sharing edge (2,3); a weak pair (1,4)
+    pruned by the mean gate; a self-loop dropped; and the (2,1)/(1,2)
+    direction split collapsed into one undirected pair."""
+    from engine.graphops import triangle_participation
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 4.0), (2, 1, 6.0),       # direction split: pair w=10
+            (2, 3, 10.0), (1, 3, 10.0),
+            (2, 4, 10.0), (3, 4, 10.0),
+            (1, 4, 1.0),                     # weak: pruned (mean=8.5)
+            (2, 2, 100.0),                   # self-loop: dropped pre-mean
+        ],
+        "src int, dst int, w double",
+    )
+    got = {
+        r["n_nationkey"]: r["n_triangles"]
+        for r in triangle_participation(edges, 1.0).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
 def test_degree_distribution_accounts_every_edge(spark):
