@@ -12,8 +12,11 @@ refresh is O(new × collisions), not O((old+new)²).
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -229,14 +232,73 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     ck = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
     base = _INDEX_CACHE.get(ck)
-    if base is None or not os.path.isdir(f"{base}/bands"):
+    if base is None or _current_gen(base) is None:
         base = tempfile.mkdtemp(prefix=f"sg-refreshidx-{sftag(sf_dir)}-")
         build_refresh_index(spark, old, base)
+        # Evict superseded entries for the SAME corpus path (regenerated
+        # parquet → new (mtime, size) key): a long-lived process would
+        # otherwise leak one full index dir in /tmp per regeneration.
+        for k in [k for k in _INDEX_CACHE if k[0] == ck[0] and k != ck]:
+            shutil.rmtree(_INDEX_CACHE.pop(k), ignore_errors=True)
         _INDEX_CACHE[ck] = base
     return refresh_against_index(spark, new, base)
 
 
 _INDEX_CACHE: dict[tuple, str] = {}
+
+# Past this many published increments, append_to_refresh_index warns that
+# refresh fan-out degrades (per-bucket candidate cap is per-increment, so
+# a stored bucket's fan-out grows as cap × #increments) and points at
+# compact_refresh_index. The aging rehearsal (scripts/refresh_rehearsal.py
+# --aging; table in docs/SCALE.md) picked the bound where measured refresh
+# latency left its flat band on this corpus shape.
+_COMPACT_WARN_INCREMENTS = 16
+
+
+def _current_gen(base: str) -> str | None:
+    """Resolve the live generation directory via the CURRENT pointer file
+    (same atomic-pointer idiom as sink_atomic_publish, engine/extras28.py):
+    returns None when the index is absent, torn, or pre-publish."""
+    try:
+        with open(os.path.join(base, "CURRENT")) as fh:
+            gen = fh.read().strip()
+    except OSError:
+        return None
+    p = os.path.join(base, gen)
+    return p if os.path.isdir(os.path.join(p, "bands")) else None
+
+
+def _increments(gen_dir: str) -> list[str]:
+    """Published increments of a generation, oldest first. Only renamed
+    inc-NNNNNN dirs count — a crash mid-append leaves an .inc-tmp-* dir
+    that no reader ever lists (the torn-increment guarantee)."""
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(gen_dir, "inc-[0-9]*"))
+        if os.path.isdir(os.path.join(d, "bands"))
+    )
+
+
+def _artifact_paths(gen_dir: str, name: str) -> list[str]:
+    return [os.path.join(gen_dir, name)] + [
+        os.path.join(inc, name) for inc in _increments(gen_dir)
+    ]
+
+
+def _publish_pointer(base: str, gen_name: str) -> None:
+    tmp = os.path.join(base, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(gen_name)
+    os.replace(tmp, os.path.join(base, "CURRENT"))  # atomic commit
+
+
+def _next_seq(base: str, prefix: str) -> str:
+    ns = [
+        int(os.path.basename(d)[len(prefix):])
+        for d in glob.glob(os.path.join(base, f"{prefix}[0-9]*"))
+        if os.path.basename(d)[len(prefix):].isdigit()
+    ]
+    return f"{prefix}{max(ns, default=0) + 1:06d}"
 
 
 def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> None:
@@ -254,15 +316,31 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     The only stage that reads ``accepted.text`` is the signature pass; the
     band rows are derived from the WRITTEN sigs parquet (one shingle pass
     total, and the derive is a 32-int-column projection). At 100 TB the
-    artifacts are appended per accepted batch (append_to_refresh_index —
-    the write half of the refresh loop) — band rows partition by
-    their (k1) hash prefix naturally under parquet. For batches under
+    artifacts grow per accepted batch (append_to_refresh_index — the
+    write half of the refresh loop) — band rows partition by their (k1)
+    hash prefix naturally under parquet. For batches under
     _BROADCAST_BATCH_MAX_DOCS the refresh join broadcasts the new side
     so the stored index streams through one scan with no shuffle of the
     old side; past that bound the new side is a growing fact relation
     and refresh_against_index deliberately takes the shuffle join (see
-    the constant's rationale)."""
-    _write_index_increment(spark, accepted, base, mode="overwrite")
+    the constant's rationale).
+
+    Layout (r08, the LSM/table-format shape): artifacts live under a
+    GENERATION directory named by the CURRENT pointer file; appends
+    publish increment subdirs inside the generation by atomic rename;
+    compaction (compact_refresh_index) merges generation + increments
+    into a new generation and swaps the pointer. Every publish step is a
+    single rename/replace, so no reader ever observes a torn index —
+    the pointer idiom sink_atomic_publish demonstrates as an operator."""
+    os.makedirs(base, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=base, prefix=".gen-tmp-")
+    _write_index_artifacts(spark, accepted, tmp)
+    gen_name = _next_seq(base, "gen-")
+    os.rename(tmp, os.path.join(base, gen_name))
+    old_gen = _current_gen(base)
+    _publish_pointer(base, gen_name)
+    if old_gen is not None:
+        shutil.rmtree(old_gen, ignore_errors=True)
 
 
 def append_to_refresh_index(
@@ -271,48 +349,88 @@ def append_to_refresh_index(
     """Append a newly ACCEPTED batch's dedup state to an existing index —
     the write half of the production refresh loop: refresh gates a batch
     against the index, then the survivors are appended so the NEXT batch
-    sees them as accepted corpus. Same three artifacts, parquet
-    mode=append (new part files; no rewrite of the existing bytes), so
-    index maintenance is O(batch) — the accepted corpus's text is never
-    re-read, exactly like refresh itself.
+    sees them as accepted corpus. Same three artifacts written into a
+    fresh increment dir and published into the live generation by ONE
+    atomic rename (no rewrite of existing bytes, and a crash before the
+    rename leaves an invisible .inc-tmp-* dir instead of a torn index),
+    so index maintenance is O(batch) — the accepted corpus's text is
+    never re-read, exactly like refresh itself.
 
     Bucket-cap semantics under append (the LSM trade): the cap is
     applied WITHIN each increment, so a stored bucket can exceed the cap
     across increments — candidate fan-out per refresh is then bounded by
     cap × #increments for that bucket rather than cap. Correctness is
-    unaffected (verification is exact); a periodic compaction — re-run
-    build_refresh_index over the full accepted corpus, the same way LSM
-    trees re-merge runs — restores the global cap when increments
-    accumulate. tests/test_pipeline6.py::test_refresh_index_append_loop
-    drives two generations end-to-end."""
-    _write_index_increment(spark, accepted, base, mode="append")
+    unaffected (verification is exact), but refresh latency creeps with
+    increment count (measured: docs/SCALE.md aging table), so past
+    _COMPACT_WARN_INCREMENTS published increments this warns and points
+    at compact_refresh_index — the LSM re-merge that restores the global
+    cap and the flat refresh cost.
+    tests/test_pipeline6.py::test_refresh_index_append_loop drives two
+    generations end-to-end."""
+    gen = _current_gen(base)
+    if gen is None:
+        raise FileNotFoundError(
+            f"no published refresh index under {base}; run build_refresh_index"
+        )
+    tmp = tempfile.mkdtemp(dir=gen, prefix=".inc-tmp-")
+    _write_index_artifacts(spark, accepted, tmp)
+    os.rename(tmp, os.path.join(gen, _next_seq(gen, "inc-")))
+    n_inc = len(_increments(gen))
+    if n_inc > _COMPACT_WARN_INCREMENTS:
+        warnings.warn(
+            f"refresh index at {base} has {n_inc} increments (warn bound "
+            f"{_COMPACT_WARN_INCREMENTS}): per-bucket candidate fan-out "
+            "and artifact file count grow with increments — run "
+            "compact_refresh_index(spark, base) to re-merge",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
-def _write_index_increment(
-    spark: SparkSession, accepted: DataFrame, base: str, *, mode: str
+def compact_refresh_index(spark: SparkSession, base: str) -> None:
+    """LSM re-merge: fold the live generation and all its increments into
+    ONE new generation and atomically swap the CURRENT pointer. Reads
+    ONLY the stored artifacts — never any document text: exact hashes
+    union-distinct; signatures concatenate (increments are doc-disjoint
+    by construction); band rows re-derive from the merged signatures, so
+    the per-bucket candidate cap becomes GLOBAL again instead of
+    per-increment. Cost is O(corpus signatures) — cheaper than the
+    from-scratch build by the whole shingle pass. The superseded
+    generation is removed after the pointer swap; a crash at any point
+    leaves either the old or the new generation fully live."""
+    gen = _current_gen(base)
+    if gen is None:
+        raise FileNotFoundError(f"no published refresh index under {base}")
+    from engine.llmops import capped_lsh_band_rows
+
+    tmp = tempfile.mkdtemp(dir=base, prefix=".gen-tmp-")
+    spark.read.parquet(*_artifact_paths(gen, "exact")).distinct().write.parquet(
+        f"{tmp}/exact"
+    )
+    spark.read.parquet(*_artifact_paths(gen, "sigs")).write.parquet(f"{tmp}/sigs")
+    sig_back = spark.read.parquet(f"{tmp}/sigs")
+    capped_lsh_band_rows(sig_back).write.parquet(f"{tmp}/bands")
+    gen_name = _next_seq(base, "gen-")
+    os.rename(tmp, os.path.join(base, gen_name))
+    _publish_pointer(base, gen_name)
+    shutil.rmtree(gen, ignore_errors=True)
+
+
+def _write_index_artifacts(
+    spark: SparkSession, accepted: DataFrame, dirpath: str
 ) -> None:
+    """The three artifacts into a fresh (staging) dir. One shingle pass:
+    sigs are written first and the band rows derive from the WRITTEN
+    parquet — a 32-int-column projection read of this dir only, never of
+    the wider index."""
     from engine.llmops import capped_lsh_band_rows, minhash_signatures
 
-    accepted.select(F.md5("text").alias("h")).distinct().write.mode(mode).parquet(
-        f"{base}/exact"
+    accepted.select(F.md5("text").alias("h")).distinct().write.parquet(
+        f"{dirpath}/exact"
     )
-    if mode == "overwrite":
-        # One shingle pass: write sigs, derive bands from the WRITTEN
-        # parquet (a 32-int-column projection read).
-        minhash_signatures(accepted).write.mode(mode).parquet(f"{base}/sigs")
-        sig_back = spark.read.parquet(f"{base}/sigs")
-    else:
-        # Append: the band derive must see ONLY this increment's
-        # signatures (reading {base}/sigs back after appending would
-        # re-band the whole corpus), so hold the increment in cache for
-        # the two consumers instead of reading back.
-        from pyspark import StorageLevel
-
-        sig_back = minhash_signatures(accepted).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        sig_back.write.mode("append").parquet(f"{base}/sigs")
-    capped_lsh_band_rows(sig_back).write.mode(mode).parquet(f"{base}/bands")
+    minhash_signatures(accepted).write.parquet(f"{dirpath}/sigs")
+    sig_back = spark.read.parquet(f"{dirpath}/sigs")
+    capped_lsh_band_rows(sig_back).write.parquet(f"{dirpath}/bands")
 
 
 def refresh_against_index(
@@ -340,9 +458,14 @@ def refresh_against_index(
         verify_near_pairs,
     )
 
-    old_exact = spark.read.parquet(f"{base}/exact")
-    old_sigs = spark.read.parquet(f"{base}/sigs")
-    old_bands = spark.read.parquet(f"{base}/bands")
+    gen = _current_gen(base)
+    if gen is None:
+        raise FileNotFoundError(
+            f"no published refresh index under {base}; run build_refresh_index"
+        )
+    old_exact = spark.read.parquet(*_artifact_paths(gen, "exact"))
+    old_sigs = spark.read.parquet(*_artifact_paths(gen, "sigs"))
+    old_bands = spark.read.parquet(*_artifact_paths(gen, "bands"))
 
     # Gate 1: exact vs the stored hash set.
     new_h = new.withColumn("h", F.md5("text"))

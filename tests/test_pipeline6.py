@@ -334,3 +334,104 @@ def test_refresh_index_append_loop(spark, tmp_path):
     # must near-dup an A-accepted doc (the corpus plants near-dup chains)
     b_ids = ids(batch_b)
     assert any(near[i] & set(accepted_ids) for i in b_ids)
+
+
+def test_torn_append_is_invisible_to_readers(spark, tmp_path):
+    """A crash mid-append leaves only an unpublished .inc-tmp-* staging
+    dir (the atomic-rename contract): readers must produce the identical
+    manifest with the wreckage present, and never list its files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(m5 > 1), base)
+    batch = d.filter(m5 == 0)
+    before = sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch, base).collect()
+    )
+
+    # simulate the crash: full artifact set written, rename never ran
+    gen = p6._current_gen(base)
+    torn = os.path.join(gen, ".inc-tmp-crashed")
+    p6._write_index_artifacts(spark, d.filter(m5 == 1), torn)
+    assert p6._increments(gen) == []  # unpublished ⇒ not an increment
+
+    after_df = p6.refresh_against_index(spark, batch, base)
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+    assert not any(".inc-tmp-" in f for f in after_df.inputFiles())
+
+
+def test_compaction_restores_fresh_build_exactly(spark, tmp_path):
+    """After N appends, compact_refresh_index must leave the index
+    row-equivalent to a from-scratch build over the union — identical
+    band rows (the global bucket cap is restored, not just approximated),
+    identical exact-hash set, and the refresh manifest unchanged — with
+    all increments folded away and the superseded generation deleted."""
+    import glob as g
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(m5 > 2), base)
+    p6.append_to_refresh_index(spark, d.filter(m5 == 2), base)
+    p6.append_to_refresh_index(spark, d.filter(m5 == 1), base)
+    batch = d.filter(m5 == 0)
+    before = sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch, base).collect()
+    )
+    old_gen = p6._current_gen(base)
+    assert len(p6._increments(old_gen)) == 2
+
+    p6.compact_refresh_index(spark, base)
+    gen = p6._current_gen(base)
+    assert gen != old_gen and not os.path.isdir(old_gen)
+    assert p6._increments(gen) == []
+    assert len(g.glob(os.path.join(base, "gen-*"))) == 1
+
+    after = sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch, base).collect()
+    )
+    assert after == before
+
+    # row-level equivalence vs a from-scratch build over the same corpus
+    fresh = str(tmp_path / "fresh")
+    p6.build_refresh_index(spark, d.filter(m5 > 0), fresh)
+    fgen = p6._current_gen(fresh)
+
+    def rows(b, name):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{b}/{name}").collect()
+        )
+
+    assert rows(gen, "exact") == rows(fgen, "exact")
+    assert rows(gen, "bands") == rows(fgen, "bands")
+
+
+def test_append_warns_past_compaction_bound(spark, tmp_path, monkeypatch):
+    """Increment aging must not degrade silently: past the warn bound the
+    append emits a RuntimeWarning naming compact_refresh_index."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(F.col("doc_id") % 5 > 2), base)
+    monkeypatch.setattr(p6, "_COMPACT_WARN_INCREMENTS", 1)
+    p6.append_to_refresh_index(spark, d.filter(F.col("doc_id") % 5 == 2), base)
+    with _pytest.warns(RuntimeWarning, match="compact_refresh_index"):
+        p6.append_to_refresh_index(spark, d.filter(F.col("doc_id") % 5 == 1), base)
