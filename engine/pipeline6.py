@@ -246,12 +246,16 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INDEX_CACHE: dict[tuple, str] = {}
 
-# Past this many published increments, append_to_refresh_index warns that
-# refresh fan-out degrades (per-bucket candidate cap is per-increment, so
-# a stored bucket's fan-out grows as cap × #increments) and points at
-# compact_refresh_index. The aging rehearsal (scripts/refresh_rehearsal.py
-# --aging; table in docs/SCALE.md) picked the bound where measured refresh
-# latency left its flat band on this corpus shape.
+# Increment-aging policy (measured: scripts/refresh_rehearsal.py --aging-raw,
+# table in docs/SCALE.md r08). The per-bucket candidate cap is per-increment,
+# so a stored bucket's refresh fan-out grows as cap × #increments: raw creep
+# measured ~+0.5 s/increment at sf0.1 on the clone-dense shape (6.6 s at 0
+# increments → ~14–16 s at 13–15), while compaction is a 2.5 s signatures-only
+# merge that restores the 0-increment cost exactly. So append auto-compacts
+# every _AUTO_COMPACT_INCREMENTS increments (amortized ~0.3 s/batch for a
+# bounded ≤ ~+1 s creep band); callers that opt out (auto_compact_after=None)
+# get a warning past _COMPACT_WARN_INCREMENTS instead of silent degradation.
+_AUTO_COMPACT_INCREMENTS = 8
 _COMPACT_WARN_INCREMENTS = 16
 
 
@@ -344,7 +348,11 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
 
 
 def append_to_refresh_index(
-    spark: SparkSession, accepted: DataFrame, base: str
+    spark: SparkSession,
+    accepted: DataFrame,
+    base: str,
+    *,
+    auto_compact_after: int | None = _AUTO_COMPACT_INCREMENTS,
 ) -> None:
     """Append a newly ACCEPTED batch's dedup state to an existing index —
     the write half of the production refresh loop: refresh gates a batch
@@ -361,12 +369,16 @@ def append_to_refresh_index(
     across increments — candidate fan-out per refresh is then bounded by
     cap × #increments for that bucket rather than cap. Correctness is
     unaffected (verification is exact), but refresh latency creeps with
-    increment count (measured: docs/SCALE.md aging table), so past
-    _COMPACT_WARN_INCREMENTS published increments this warns and points
-    at compact_refresh_index — the LSM re-merge that restores the global
-    cap and the flat refresh cost.
+    increment count (measured ~+0.5 s/increment at sf0.1 — docs/SCALE.md
+    r08 aging table), so append AUTO-COMPACTS once ``auto_compact_after``
+    increments accumulate — the LSM re-merge (compact_refresh_index) that
+    restores the global cap and the flat refresh cost for ~0.3 s/batch
+    amortized. Pass ``auto_compact_after=None`` to manage compaction
+    yourself; past _COMPACT_WARN_INCREMENTS that degrades loudly via a
+    RuntimeWarning instead of silently.
     tests/test_pipeline6.py::test_refresh_index_append_loop drives two
-    generations end-to-end."""
+    generations end-to-end; the auto-compaction policy curve is pinned by
+    test_auto_compaction_bounds_increment_count."""
     gen = _current_gen(base)
     if gen is None:
         raise FileNotFoundError(
@@ -376,7 +388,9 @@ def append_to_refresh_index(
     _write_index_artifacts(spark, accepted, tmp)
     os.rename(tmp, os.path.join(gen, _next_seq(gen, "inc-")))
     n_inc = len(_increments(gen))
-    if n_inc > _COMPACT_WARN_INCREMENTS:
+    if auto_compact_after is not None and n_inc >= auto_compact_after:
+        compact_refresh_index(spark, base)
+    elif n_inc > _COMPACT_WARN_INCREMENTS:
         warnings.warn(
             f"refresh index at {base} has {n_inc} increments (warn bound "
             f"{_COMPACT_WARN_INCREMENTS}): per-bucket candidate fan-out "

@@ -12,6 +12,20 @@ components fallback at high replication.
 exponent = log(t_Rx / t_1x) / log(R); refresh-only time (build excluded).
 
 Usage: python scripts/refresh_rehearsal.py [replication ...]  (default 1 5 25)
+       python scripts/refresh_rehearsal.py --aging [n_batches]      (default 16)
+       python scripts/refresh_rehearsal.py --aging-raw [n_batches]  (default 16)
+
+--aging / --aging-raw drive the full production loop: build once, then n
+sequential generations of refresh(batch_k) -> append(batch_k) with a
+fresh key-shifted batch each step, timing each refresh — the latency-
+vs-increment-count curve that decides the compaction bound. --aging-raw
+disables append's auto-compaction (the unmanaged creep curve); --aging
+keeps the default policy (auto-compact every _AUTO_COMPACT_INCREMENTS),
+whose curve should stay in a flat band. Both end with an explicit
+compact_refresh_index and one post-compaction refresh to show the
+restored cost. Batches are key-shifted but texts REPEAT across
+generations, so every append piles the same band buckets higher — the
+adversarial shape for the per-increment cap.
 """
 
 from __future__ import annotations
@@ -28,7 +42,82 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def aging(n_batches: int, auto_compact: bool) -> int:
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.session import get_spark
+    from engine.tables import load
+
+    spark = get_spark(
+        "sg-refresh-aging", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    is_new = F.col("doc_id") % 5 == 0
+    base = tempfile.mkdtemp(prefix="sg-refresh-aging-idx-")
+    t0 = time.monotonic()
+    p6.build_refresh_index(spark, d.filter(~is_new), base)
+    print(f"index build (once, {SF_DIR} old split): {time.monotonic() - t0:.2f} s")
+
+    # one materialized template batch; each generation re-reads it with a
+    # distinct key shift and lands in its own parquet dir (a real arriving
+    # batch is a file, not a plan — same rationale as the batch-axis mode).
+    tdir = tempfile.mkdtemp(prefix="sg-aging-batches-")
+    d.filter(is_new).write.parquet(f"{tdir}/template")
+    template = spark.read.parquet(f"{tdir}/template")
+
+    def make_batch(k: int):
+        path = f"{tdir}/b{k}"
+        template.withColumn(
+            "doc_id", F.col("doc_id") + k * 1_000_000
+        ).write.parquet(path)
+        return spark.read.parquet(path)
+
+    # JVM/codepath warmup (not appended, not timed in the table)
+    p6.refresh_against_index(spark, template, base).count()
+
+    print("| appended increments | refresh s |")
+    print("|---|---|")
+    times: list[float] = []
+    for k in range(1, n_batches + 1):
+        batch = make_batch(k)
+        spark.catalog.clearCache()
+        gen = p6._current_gen(base)
+        n_inc = len(p6._increments(gen)) if gen else 0
+        t0 = time.monotonic()
+        p6.refresh_against_index(spark, batch, base).count()
+        times.append(time.monotonic() - t0)
+        print(f"| {n_inc} | {times[-1]:.2f} |", flush=True)
+        p6.append_to_refresh_index(
+            spark,
+            batch,
+            base,
+            auto_compact_after=p6._AUTO_COMPACT_INCREMENTS if auto_compact else None,
+        )
+        shutil.rmtree(f"{tdir}/b{k}", ignore_errors=True)
+
+    n_folded = len(p6._increments(p6._current_gen(base)))
+    t0 = time.monotonic()
+    p6.compact_refresh_index(spark, base)
+    t_compact = time.monotonic() - t0
+    batch = make_batch(n_batches + 1)
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    p6.refresh_against_index(spark, batch, base).count()
+    t_post = time.monotonic() - t0
+    print(f"compact: {t_compact:.2f} s; post-compaction refresh "
+          f"({n_folded} folded increments): {t_post:.2f} s")
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if sys.argv[1:2] in (["--aging"], ["--aging-raw"]):
+        return aging(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            auto_compact=sys.argv[1] == "--aging",
+        )
     reps = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
     from pyspark.sql import functions as F
 

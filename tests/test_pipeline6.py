@@ -435,3 +435,40 @@ def test_append_warns_past_compaction_bound(spark, tmp_path, monkeypatch):
     p6.append_to_refresh_index(spark, d.filter(F.col("doc_id") % 5 == 2), base)
     with _pytest.warns(RuntimeWarning, match="compact_refresh_index"):
         p6.append_to_refresh_index(spark, d.filter(F.col("doc_id") % 5 == 1), base)
+
+
+def test_auto_compaction_bounds_increment_count(spark, tmp_path):
+    """The LSM policy: with auto_compact_after=2, sequential appends keep
+    the published increment count under the bound (folding into a new
+    generation automatically), and the refresh manifest stays identical
+    to a never-compacted index over the same appends."""
+    import glob as g
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    auto_base = str(tmp_path / "auto")
+    raw_base = str(tmp_path / "raw")
+    for b in (auto_base, raw_base):
+        p6.build_refresh_index(spark, d.filter(m5 == 4), b)
+    for mod in (3, 2, 1):
+        batch = d.filter(m5 == mod)
+        p6.append_to_refresh_index(spark, batch, auto_base, auto_compact_after=2)
+        p6.append_to_refresh_index(spark, batch, raw_base, auto_compact_after=None)
+
+    # appends 1,2 fold at the bound (2 -> compact -> 0), append 3 leaves 1
+    gen = p6._current_gen(auto_base)
+    assert len(p6._increments(gen)) == 1
+    assert len(g.glob(os.path.join(auto_base, "gen-*"))) == 1  # superseded gens gone
+    assert len(p6._increments(p6._current_gen(raw_base))) == 3
+
+    batch0 = d.filter(m5 == 0)
+    man = lambda b: sorted(
+        tuple(r) for r in p6.refresh_against_index(spark, batch0, b).collect()
+    )
+    assert man(auto_base) == man(raw_base)
