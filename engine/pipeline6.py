@@ -385,7 +385,7 @@ def append_to_refresh_index(
             f"no published refresh index under {base}; run build_refresh_index"
         )
     tmp = tempfile.mkdtemp(dir=gen, prefix=".inc-tmp-")
-    _write_index_artifacts(spark, accepted, tmp)
+    _write_index_artifacts(spark, accepted, tmp, max_files=_INCREMENT_MAX_FILES)
     os.rename(tmp, os.path.join(gen, _next_seq(gen, "inc-")))
     n_inc = len(_increments(gen))
     if auto_compact_after is not None and n_inc >= auto_compact_after:
@@ -430,21 +430,53 @@ def compact_refresh_index(spark: SparkSession, base: str) -> None:
     shutil.rmtree(gen, ignore_errors=True)
 
 
+# Append increments coalesce their artifact writes to this many part
+# files each. Without it every O(batch)-sized increment inherits the
+# input-split parallelism (~32 files/artifact here, ~100 tiny files per
+# append) — the classic LSM small-file problem: on an object store the
+# per-file listing/open/footer cost dominates long before the data
+# does, and the file census grows per append until compaction. Locally
+# this is preventive, not a measured win: an empty-increment probe
+# (scripts/_probe_increment_overhead.py: 15 zero-row increments) adds
+# no refresh latency, i.e. the local aging creep is bucket fan-out, not
+# file count — but local[32] against page cache is the best possible
+# case for small files, so increments bound them anyway. Generation
+# (build/compact) writes keep full parallelism: they are corpus-sized.
+_INCREMENT_MAX_FILES = 4
+
+
 def _write_index_artifacts(
-    spark: SparkSession, accepted: DataFrame, dirpath: str
+    spark: SparkSession,
+    accepted: DataFrame,
+    dirpath: str,
+    *,
+    max_files: int | None = None,
 ) -> None:
     """The three artifacts into a fresh (staging) dir. One shingle pass:
     sigs are written first and the band rows derive from the WRITTEN
     parquet — a 32-int-column projection read of this dir only, never of
-    the wider index."""
+    the wider index. ``max_files`` bounds each artifact's part-file count
+    (set for O(batch) increments, None for corpus-sized generations):
+    exact and bands sit just past a shuffle (distinct / the bucket-cap
+    window) so a narrow coalesce only merges reduce outputs, while sigs
+    is a narrow projection all the way from the text scan — a coalesce
+    there would throttle the expensive shingle pass itself, so the sig
+    write repartitions instead (shuffling batch-sized rows to keep the
+    compute wide)."""
     from engine.llmops import capped_lsh_band_rows, minhash_signatures
 
-    accepted.select(F.md5("text").alias("h")).distinct().write.parquet(
-        f"{dirpath}/exact"
-    )
-    minhash_signatures(accepted).write.parquet(f"{dirpath}/sigs")
+    exact = accepted.select(F.md5("text").alias("h")).distinct()
+    sigs = minhash_signatures(accepted)
+    if max_files is not None:
+        exact = exact.coalesce(max_files)
+        sigs = sigs.repartition(max_files)
+    exact.write.parquet(f"{dirpath}/exact")
+    sigs.write.parquet(f"{dirpath}/sigs")
     sig_back = spark.read.parquet(f"{dirpath}/sigs")
-    capped_lsh_band_rows(sig_back).write.parquet(f"{dirpath}/bands")
+    bands = capped_lsh_band_rows(sig_back)
+    if max_files is not None:
+        bands = bands.coalesce(max_files)
+    bands.write.parquet(f"{dirpath}/bands")
 
 
 def refresh_against_index(

@@ -12,20 +12,27 @@ components fallback at high replication.
 exponent = log(t_Rx / t_1x) / log(R); refresh-only time (build excluded).
 
 Usage: python scripts/refresh_rehearsal.py [replication ...]  (default 1 5 25)
-       python scripts/refresh_rehearsal.py --aging [n_batches]      (default 16)
-       python scripts/refresh_rehearsal.py --aging-raw [n_batches]  (default 16)
+       python scripts/refresh_rehearsal.py --aging [n_batches]          (default 16)
+       python scripts/refresh_rehearsal.py --aging-raw [n_batches]      (default 16)
+       python scripts/refresh_rehearsal.py --aging-distinct [n_batches] (default 16)
 
---aging / --aging-raw drive the full production loop: build once, then n
-sequential generations of refresh(batch_k) -> append(batch_k) with a
-fresh key-shifted batch each step, timing each refresh — the latency-
-vs-increment-count curve that decides the compaction bound. --aging-raw
-disables append's auto-compaction (the unmanaged creep curve); --aging
-keeps the default policy (auto-compact every _AUTO_COMPACT_INCREMENTS),
-whose curve should stay in a flat band. Both end with an explicit
-compact_refresh_index and one post-compaction refresh to show the
-restored cost. Batches are key-shifted but texts REPEAT across
-generations, so every append piles the same band buckets higher — the
-adversarial shape for the per-increment cap.
+--aging / --aging-raw / --aging-distinct drive the full production loop:
+build once, then n sequential generations of refresh(batch_k) ->
+append(batch_k) with a fresh key-shifted batch each step, timing each
+refresh — the latency-vs-increment-count curve that decides the
+compaction bound. --aging-raw disables append's auto-compaction (the
+unmanaged creep curve); --aging keeps the default policy (auto-compact
+every _AUTO_COMPACT_INCREMENTS), whose curve should stay in a flat
+band. Both end with an explicit compact_refresh_index and one
+post-compaction refresh to show the restored cost. In both, batches are
+key-shifted but texts REPEAT across generations, so every append piles
+the same band buckets higher — the adversarial shape for the
+per-increment cap. --aging-distinct is the benign control: compaction
+off AND every word of each generation's texts hash-scrambled
+per-generation (every char-5-gram shingle differs), so appended band
+rows land in fresh buckets — if the creep is really cap×#increments
+bucket fan-out, this curve stays ~flat without compaction (any residual
+slope is the stored-artifact scan, linear in corpus size).
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def aging(n_batches: int, auto_compact: bool) -> int:
+def aging(n_batches: int, auto_compact: bool, distinct_texts: bool = False) -> int:
     from pyspark.sql import functions as F
 
     import engine.pipeline6 as p6
@@ -68,9 +75,24 @@ def aging(n_batches: int, auto_compact: bool) -> int:
 
     def make_batch(k: int):
         path = f"{tdir}/b{k}"
-        template.withColumn(
-            "doc_id", F.col("doc_id") + k * 1_000_000
-        ).write.parquet(path)
+        b = template.withColumn("doc_id", F.col("doc_id") + k * 1_000_000)
+        if distinct_texts:
+            # Scramble EVERY word with a per-generation hash (lengths
+            # preserved): every 5-gram char shingle differs across
+            # generations, so appended band rows land in fresh buckets.
+            # (A first attempt appended a short per-generation tag —
+            # that leaves ~all shingles intact, signatures ~unchanged,
+            # and the "control" was really a near-clone adversarial run:
+            # its creep matched --aging-raw. See SCALE.md r08.)
+            b = b.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(split(text, ' '), w ->"
+                    f" substring(sha2(concat(w, 'g{k:04d}'), 256), 1,"
+                    " greatest(length(w), 1))), ' ')"
+                ),
+            )
+        b.write.parquet(path)
         return spark.read.parquet(path)
 
     # JVM/codepath warmup (not appended, not timed in the table)
@@ -113,10 +135,11 @@ def aging(n_batches: int, auto_compact: bool) -> int:
 
 
 def main() -> int:
-    if sys.argv[1:2] in (["--aging"], ["--aging-raw"]):
+    if sys.argv[1:2] in (["--aging"], ["--aging-raw"], ["--aging-distinct"]):
         return aging(
             int(sys.argv[2]) if len(sys.argv) > 2 else 16,
             auto_compact=sys.argv[1] == "--aging",
+            distinct_texts=sys.argv[1] == "--aging-distinct",
         )
     reps = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
     from pyspark.sql import functions as F

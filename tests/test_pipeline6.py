@@ -336,6 +336,38 @@ def test_refresh_index_append_loop(spark, tmp_path):
     assert any(near[i] & set(accepted_ids) for i in b_ids)
 
 
+def test_increment_artifacts_are_file_bounded(spark, tmp_path):
+    """Appended increments must write at most _INCREMENT_MAX_FILES part
+    files per artifact: without the bound each O(batch) increment
+    inherits the input-split parallelism (~32 files per artifact, ~100
+    tiny files per append) — the LSM small-file problem that dominates
+    on object stores. Generation builds are corpus-sized and keep full
+    parallelism, so only increments are bounded (rationale at the
+    constant, engine/pipeline6.py)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(m5 > 1), base)
+    p6.append_to_refresh_index(spark, d.filter(m5 == 0), base)
+    gen = p6._current_gen(base)
+    (inc,) = p6._increments(gen)
+    for artifact in ("exact", "sigs", "bands"):
+        parts = glob.glob(os.path.join(inc, artifact, "part-*"))
+        assert parts, f"{artifact}: increment artifact missing"
+        assert len(parts) <= p6._INCREMENT_MAX_FILES, (
+            f"{artifact}: {len(parts)} part files in increment "
+            f"(bound {p6._INCREMENT_MAX_FILES})"
+        )
+
+
 def test_torn_append_is_invisible_to_readers(spark, tmp_path):
     """A crash mid-append leaves only an unpublished .inc-tmp-* staging
     dir (the atomic-rename contract): readers must produce the identical
