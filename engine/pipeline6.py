@@ -238,7 +238,12 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Evict superseded entries for the SAME corpus path (regenerated
         # parquet → new (mtime, size) key): a long-lived process would
         # otherwise leak one full index dir in /tmp per regeneration.
-        for k in [k for k in _INDEX_CACHE if k[0] == ck[0] and k != ck]:
+        # Retention mirrors _prune_generations: the MOST RECENT superseded
+        # index survives one more regeneration (a manifest returned before
+        # the regen may still be un-collected — lazy plans read at
+        # execution time), older ones are deleted; leak bound 2 dirs/path.
+        superseded = [k for k in _INDEX_CACHE if k[0] == ck[0] and k != ck]
+        for k in superseded[:-1]:
             shutil.rmtree(_INDEX_CACHE.pop(k), ignore_errors=True)
         _INDEX_CACHE[ck] = base
     return refresh_against_index(spark, new, base)
@@ -296,6 +301,22 @@ def _publish_pointer(base: str, gen_name: str) -> None:
     os.replace(tmp, os.path.join(base, "CURRENT"))  # atomic commit
 
 
+def _prune_generations(base: str, keep: set[str]) -> None:
+    """Retention after a pointer swap: delete every published generation
+    except ``keep`` = {live, just-superseded}. Keeping exactly one
+    superseded generation is the table-format vacuum grace period: a
+    refresh manifest PLANNED before a swap holds file references into the
+    old generation, and Spark plans are lazy — immediate deletion made
+    `m = refresh_against_index(...); append(...)  # auto-compacts;
+    m.collect()` throw FileNotFoundException. One retained generation
+    means any plan survives the next swap; only a plan held across TWO
+    swaps is past retention (and fails loudly, never wrongly). Disk cost
+    is bounded at ~2x the index, reclaimed at the following swap."""
+    for d in glob.glob(os.path.join(base, "gen-[0-9]*")):
+        if os.path.basename(d) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _next_seq(base: str, prefix: str) -> str:
     ns = [
         int(os.path.basename(d)[len(prefix):])
@@ -343,8 +364,8 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     os.rename(tmp, os.path.join(base, gen_name))
     old_gen = _current_gen(base)
     _publish_pointer(base, gen_name)
-    if old_gen is not None:
-        shutil.rmtree(old_gen, ignore_errors=True)
+    keep = {gen_name} | ({os.path.basename(old_gen)} if old_gen else set())
+    _prune_generations(base, keep)
 
 
 def append_to_refresh_index(
@@ -410,8 +431,10 @@ def compact_refresh_index(spark: SparkSession, base: str) -> None:
     the per-bucket candidate cap becomes GLOBAL again instead of
     per-increment. Cost is O(corpus signatures) — cheaper than the
     from-scratch build by the whole shingle pass. The superseded
-    generation is removed after the pointer swap; a crash at any point
-    leaves either the old or the new generation fully live."""
+    generation is RETAINED through one more swap (_prune_generations:
+    in-flight lazy plans keep reading it) and pruned at the following
+    one; a crash at any point leaves either the old or the new
+    generation fully live."""
     gen = _current_gen(base)
     if gen is None:
         raise FileNotFoundError(f"no published refresh index under {base}")
@@ -427,7 +450,7 @@ def compact_refresh_index(spark: SparkSession, base: str) -> None:
     gen_name = _next_seq(base, "gen-")
     os.rename(tmp, os.path.join(base, gen_name))
     _publish_pointer(base, gen_name)
-    shutil.rmtree(gen, ignore_errors=True)
+    _prune_generations(base, {gen_name, os.path.basename(gen)})
 
 
 # Append increments coalesce their artifact writes to this many part

@@ -135,6 +135,48 @@ def text_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_band_candidate_pairs(
+    df: DataFrame, name_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Lossless length-band candidate generation for levenshtein <= k
+    matching over a vocabulary relation: |len(a)-len(b)| <= k is
+    NECESSARY for lev <= k, so banding by floor(len/(k+1)) with ±1-band
+    explosion on the a-side turns the all-pairs filter into a hash join
+    on the band key — no cartesian, and the expensive levenshtein runs
+    only on band survivors. Each qualifying pair is produced exactly
+    once: the b-side sits in its single home band, array_distinct
+    collapses the a-side explosion when adjacent bands coincide, and
+    the key ordering (a < b) picks one orientation. The int cast
+    truncates toward zero, so (len-k)/(k+1) at len < k lands in band 0
+    rather than -1 — conservative (extra candidates, never lost ones).
+    Returns every input column twice, prefixed a_/b_, for pairs with
+    a_<key_col> < b_<key_col> and levenshtein <= k. Shared by
+    dedup_fuzzy_edit and dedup_cluster_components."""
+    band = (F.length(name_col) / (k + 1)).cast("int")
+    a = df.select(
+        *[F.col(c).alias(f"a_{c}") for c in df.columns],
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.length(name_col) - k) / (k + 1)).cast("int"),
+                    band,
+                    ((F.length(name_col) + k) / (k + 1)).cast("int"),
+                )
+            )
+        ).alias("band"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"b_{c}") for c in df.columns],
+        band.alias("band"),
+    )
+    an, bn = f"a_{name_col}", f"b_{name_col}"
+    return a.join(b, "band").filter(
+        (F.col(f"a_{key_col}") < F.col(f"b_{key_col}"))
+        & (F.abs(F.length(an) - F.length(bn)) <= k)
+        & (F.levenshtein(an, bn) <= k)
+    )
+
+
 @query(
     "dedup_fuzzy_edit",
     oracle="""
@@ -169,44 +211,14 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("rep_key"), F.count(F.lit(1)).alias("n_parts"))
     )
-    k = 2
-    band = (F.length("p_name") / (k + 1)).cast("int")
-    left = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("rep_key").alias("rep_a"),
-        F.col("n_parts").alias("cnt_a"),
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    ((F.length("p_name") - k) / (k + 1)).cast("int"),
-                    band,
-                    ((F.length("p_name") + k) / (k + 1)).cast("int"),
-                )
-            )
-        ).alias("band"),
-    )
-    right = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("rep_key").alias("rep_b"),
-        F.col("n_parts").alias("cnt_b"),
-        band.alias("band"),
-    )
-    return (
-        left.join(right, "band")
-        .filter(
-            (F.col("rep_a") < F.col("rep_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= k)
-            & (F.levenshtein("name_a", "name_b") <= k)
-        )
-        .select(
-            "name_a",
-            "name_b",
-            "rep_a",
-            "rep_b",
-            "cnt_a",
-            "cnt_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
-        )
+    return length_band_candidate_pairs(names, "p_name", "rep_key", k=2).select(
+        F.col("a_p_name").alias("name_a"),
+        F.col("b_p_name").alias("name_b"),
+        F.col("a_rep_key").alias("rep_a"),
+        F.col("b_rep_key").alias("rep_b"),
+        F.col("a_n_parts").alias("cnt_a"),
+        F.col("b_n_parts").alias("cnt_b"),
+        F.levenshtein("a_p_name", "b_p_name").cast("long").alias("edit_dist"),
     )
 
 
@@ -325,42 +337,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("rep_key"))
     )
-    # Candidate generation reuses dedup_fuzzy_edit's lossless length-band
-    # equi-join: |len(a)-len(b)| <= k is necessary for lev <= k, so banding
-    # by floor(len/(k+1)) with ±1-band explosion on one side prunes the
-    # vocab×vocab pair space to a hash join on `band` — no cartesian, and
-    # the expensive levenshtein runs only on band survivors. The vocabulary
-    # is post-aggregation (64 names from 2k parts; MB-scale from TB-scale
-    # input), but the band join costs the same here and stays sub-quadratic
-    # if the vocabulary ever grows with the catalog.
-    k = 2
-    band = (F.length("p_name") / (k + 1)).cast("int")
-    a = vocab.select(
-        F.col("p_name").alias("na"),
-        F.col("rep_key").alias("src"),
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    ((F.length("p_name") - k) / (k + 1)).cast("int"),
-                    band,
-                    ((F.length("p_name") + k) / (k + 1)).cast("int"),
-                )
-            )
-        ).alias("band"),
-    )
-    b = vocab.select(
-        F.col("p_name").alias("nb"),
-        F.col("rep_key").alias("dst"),
-        band.alias("band"),
-    )
-    edges = (
-        a.join(b, "band")
-        .filter(
-            (F.col("src") < F.col("dst"))
-            & (F.abs(F.length("na") - F.length("nb")) <= k)
-            & (F.levenshtein("na", "nb") <= k)
-        )
-        .select("src", "dst")
+    # Candidate generation is dedup_fuzzy_edit's shared lossless
+    # length-band equi-join (length_band_candidate_pairs) — no cartesian,
+    # levenshtein only on band survivors. The vocabulary is
+    # post-aggregation (64 names from 2k parts; MB-scale from TB-scale
+    # input), but the band join costs the same here and stays
+    # sub-quadratic if the vocabulary ever grows with the catalog.
+    edges = length_band_candidate_pairs(vocab, "p_name", "rep_key", k=2).select(
+        F.col("a_rep_key").alias("src"), F.col("b_rep_key").alias("dst")
     )
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = min_label_components(

@@ -404,7 +404,8 @@ def test_compaction_restores_fresh_build_exactly(spark, tmp_path):
     row-equivalent to a from-scratch build over the union — identical
     band rows (the global bucket cap is restored, not just approximated),
     identical exact-hash set, and the refresh manifest unchanged — with
-    all increments folded away and the superseded generation deleted."""
+    all increments folded away and the superseded generation RETAINED
+    for one swap (vacuum grace for in-flight lazy plans) then pruned."""
     import glob as g
     import os
 
@@ -428,9 +429,14 @@ def test_compaction_restores_fresh_build_exactly(spark, tmp_path):
 
     p6.compact_refresh_index(spark, base)
     gen = p6._current_gen(base)
-    assert gen != old_gen and not os.path.isdir(old_gen)
+    assert gen != old_gen and os.path.isdir(old_gen)  # retained one swap
     assert p6._increments(gen) == []
-    assert len(g.glob(os.path.join(base, "gen-*"))) == 1
+    assert sorted(g.glob(os.path.join(base, "gen-*"))) == sorted([old_gen, gen])
+
+    # a second compaction prunes the generation superseded two swaps ago
+    p6.compact_refresh_index(spark, base)
+    assert not os.path.isdir(old_gen)
+    assert len(g.glob(os.path.join(base, "gen-*"))) == 2
 
     after = sorted(
         tuple(r) for r in p6.refresh_against_index(spark, batch, base).collect()
@@ -449,6 +455,33 @@ def test_compaction_restores_fresh_build_exactly(spark, tmp_path):
 
     assert rows(gen, "exact") == rows(fgen, "exact")
     assert rows(gen, "bands") == rows(fgen, "bands")
+
+
+def test_manifest_survives_one_compaction(spark, tmp_path):
+    """Spark plans are lazy: a refresh manifest held un-collected across
+    an auto-compacting append still references the superseded
+    generation's files at execution time. Generation retention (one
+    superseded generation survives each swap) must keep that collect
+    working — immediate deletion made exactly this sequence throw
+    FileNotFoundException."""
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(m5 > 1), base)
+    bound_gen = p6._current_gen(base)
+    held = p6.refresh_against_index(spark, d.filter(m5 == 0), base)
+    # auto_compact_after=1: this append compacts immediately, swapping
+    # the generation the held plan was bound to
+    p6.append_to_refresh_index(
+        spark, d.filter(m5 == 1), base, auto_compact_after=1
+    )
+    assert p6._current_gen(base) != bound_gen  # the swap really happened
+    assert held.collect()  # reads the retained superseded generation
 
 
 def test_append_warns_past_compaction_bound(spark, tmp_path, monkeypatch):
@@ -496,7 +529,8 @@ def test_auto_compaction_bounds_increment_count(spark, tmp_path):
     # appends 1,2 fold at the bound (2 -> compact -> 0), append 3 leaves 1
     gen = p6._current_gen(auto_base)
     assert len(p6._increments(gen)) == 1
-    assert len(g.glob(os.path.join(auto_base, "gen-*"))) == 1  # superseded gens gone
+    # one compaction happened: live + one retained superseded generation
+    assert len(g.glob(os.path.join(auto_base, "gen-*"))) == 2
     assert len(p6._increments(p6._current_gen(raw_base))) == 3
 
     batch0 = d.filter(m5 == 0)
