@@ -183,3 +183,59 @@ def test_dup_collapse_member_truncation_law(sizes, seed):
     rng.setstate(rng_state)  # identical block sims for the truncated run
     trunc = sorted(pairs_from([g[: k + 1] for g in groups]))[:k]
     assert full == trunc
+
+
+@given(
+    la=st.integers(min_value=0, max_value=10_000),
+    delta=st.integers(min_value=-8, max_value=8),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_length_band_cover_law(la, delta, k):
+    """Losslessness of length_band_candidate_pairs' banding: whenever
+    |len(a)-len(b)| <= k (NECESSARY for lev <= k), b's single home band
+    trunc(len_b/(k+1)) must appear in a's 3-band explosion
+    {trunc((len_a-k)/(k+1)), trunc(len_a/(k+1)), trunc((len_a+k)/(k+1))}
+    — int() matches Spark's cast("int") truncation toward zero, covering
+    the len_a < k negative-numerator corner. If this ever fails, the
+    band equi-join silently drops a true levenshtein pair."""
+    if abs(delta) > k:
+        return  # pair not required to meet: length filter excludes it
+    lb = la + delta
+    if lb < 0:
+        return
+    explosion = {int((la - k) / (k + 1)), int(la / (k + 1)), int((la + k) / (k + 1))}
+    assert int(lb / (k + 1)) in explosion
+
+
+def test_length_band_pairs_match_brute_force(spark):
+    """End-to-end exactness of the shared banded candidate join: the pair
+    set over the sf0.01 part-name vocabulary equals the brute-force
+    all-pairs levenshtein filter (one deliberate crossJoin at test
+    scale)."""
+    import pyspark.sql.functions as F
+
+    from engine.tables import load
+    from engine.trainext import length_band_candidate_pairs
+
+    vocab = (
+        load(spark, SF_DIR, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep_key"))
+    )
+    banded = {
+        (r["a_rep_key"], r["b_rep_key"])
+        for r in length_band_candidate_pairs(vocab, "p_name", "rep_key", k=2)
+        .select("a_rep_key", "b_rep_key")
+        .collect()
+    }
+    a = vocab.select(F.col("p_name").alias("na"), F.col("rep_key").alias("ka"))
+    b = vocab.select(F.col("p_name").alias("nb"), F.col("rep_key").alias("kb"))
+    brute = {
+        (r["ka"], r["kb"])
+        for r in a.crossJoin(b)
+        .filter((F.col("ka") < F.col("kb")) & (F.levenshtein("na", "nb") <= 2))
+        .select("ka", "kb")
+        .collect()
+    }
+    assert banded == brute and brute  # equal and non-trivial
