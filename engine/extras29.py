@@ -66,36 +66,41 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry [DATA].
 
     Plan: the kernel's capped-bucket candidate generation bounds the
-    pair set; the explain join touches only pair-participant texts (two
-    hash joins on doc_id). 100 TB: audit tables like this are the
-    governance artifact dedup ships with — attrition manifests say HOW
-    MANY (pipeline_dedup_cascade), this says WHY each."""
-    from engine.llmops import minhash_near_pairs
+    pair set; containment reuses the kernel's PERSISTED signature
+    relation (minhash_signatures dedups by logical plan, so the ``hs``
+    int64 shingle-hash sets hit the cache the pair kernel already
+    populated — the string-shingle re-pass over the whole corpus this
+    op previously ran is gone from the plan entirely; warm runs were
+    already cache-dominated, the win is the cold/first run and one
+    less corpus-wide transform at scale), and the text joins carry only
+    (length, prefix40) — two hash joins on doc_id. Set arithmetic over
+    ``hs`` equals the oracle's string-shingle arithmetic unless
+    xxhash64 collides within a doc's ~1k-shingle set (≪1e-9; the
+    kernel's jaccard_dist already relies on this). 100 TB: audit tables
+    like this are the governance artifact dedup ships with — attrition
+    manifests say HOW MANY (pipeline_dedup_cascade), this says WHY
+    each."""
+    from engine.llmops import minhash_near_pairs, minhash_signatures
 
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_near_pairs(d.select("doc_id", "text"))
-    # shingle-set sizes for containment: recompute per side from the text
-    # (cheap, pair-bounded) rather than threading internals out of the
-    # kernel.
-    shingle_set = F.expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
-        " i -> substring(text, i, 5)))"
-    )
-    sides = d.select(
+    sel = d.select("doc_id", "text")
+    pairs = minhash_near_pairs(sel)
+    sigs = minhash_signatures(sel).select("doc_id", "hs")
+    meta = d.select(
         "doc_id",
-        shingle_set.alias("sh"),
         F.length("text").alias("len"),
         F.substring("text", 1, 40).alias("p40"),
     )
+    sides = sigs.join(meta, "doc_id")
     a = sides.select(
         F.col("doc_id").alias("a_id"),
-        F.col("sh").alias("sha"),
+        F.col("hs").alias("sha"),
         F.col("len").alias("la"),
         F.col("p40").alias("pa"),
     )
     b = sides.select(
         F.col("doc_id").alias("b_id"),
-        F.col("sh").alias("shb"),
+        F.col("hs").alias("shb"),
         F.col("len").alias("lb"),
         F.col("p40").alias("pb"),
     )
