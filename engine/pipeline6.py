@@ -502,13 +502,20 @@ def _write_index_artifacts(
     bands.write.parquet(f"{dirpath}/bands")
 
 
-def refresh_against_index(
+def refresh_decisions(
     spark: SparkSession, new: DataFrame, base: str
 ) -> DataFrame:
-    """Admit the ``new`` batch (doc_id, source, text) against a stored
-    dedup index at ``base`` (build_refresh_index artifacts). Reads ONLY
-    the artifacts and the new batch — never the accepted corpus's text —
-    and returns the per-source refresh manifest.
+    """Classify the ``new`` batch (doc_id, source, text) against a stored
+    dedup index at ``base`` (build_refresh_index artifacts): one row per
+    arrival, ``decision`` ∈ {accepted, drop_exact_vs_old,
+    drop_near_vs_old, drop_within_new}. Reads ONLY the artifacts and the
+    new batch — never the accepted corpus's text.
+
+    This doc-level relation is the WRITE half's input: the production
+    loop appends exactly the ``accepted`` rows back to the index
+    (append_to_refresh_index), and an ingestor materializes those rows as
+    the admitted corpus delta. refresh_against_index aggregates the same
+    relation into the per-source audit manifest.
 
     Plan shape: ONE signature pass over the new batch (persisted —
     band rows, both candidate joins, and both verify sides read it), the
@@ -631,24 +638,46 @@ def refresh_against_index(
     # such callers should spark.catalog.clearCache() between batches as
     # the rehearsal does.
 
-    # Manifest: classify every arrival exactly once.
+    # Decisions: classify every arrival exactly once. The gates are
+    # disjoint by construction (each drop set is anti-joined out before
+    # the next gate runs), so the when-chain order is cosmetic.
     tag = (
         new.select("doc_id", "source")
         .join(ex_drop.withColumn("g1", F.lit(1)), "doc_id", "left")
         .join(near_old_drop.withColumn("g2", F.lit(1)), "doc_id", "left")
         .join(within_drop.withColumn("g3", F.lit(1)), "doc_id", "left")
     )
-    return tag.groupBy("source").agg(
+    return tag.select(
+        "doc_id",
+        "source",
+        F.when(F.col("g1") == 1, F.lit("drop_exact_vs_old"))
+        .when(F.col("g2") == 1, F.lit("drop_near_vs_old"))
+        .when(F.col("g3") == 1, F.lit("drop_within_new"))
+        .otherwise(F.lit("accepted"))
+        .alias("decision"),
+    )
+
+
+def refresh_against_index(
+    spark: SparkSession, new: DataFrame, base: str
+) -> DataFrame:
+    """The per-source refresh audit manifest — refresh_decisions rolled
+    up to (source, n_arrived, drop_exact_vs_old, drop_near_vs_old,
+    drop_within_new, n_accepted). Same plan as the doc-level relation
+    plus one hash aggregate; see refresh_decisions for the gate design
+    and scale rationale."""
+    dec = refresh_decisions(spark, new, base)
+    n_of = lambda name: (
+        F.sum(F.when(F.col("decision") == name, 1).otherwise(0))
+        .cast("long")
+        .alias(name)
+    )
+    return dec.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_arrived"),
-        F.sum(F.coalesce("g1", F.lit(0))).cast("long").alias("drop_exact_vs_old"),
-        F.sum(F.coalesce("g2", F.lit(0))).cast("long").alias("drop_near_vs_old"),
-        F.sum(F.coalesce("g3", F.lit(0))).cast("long").alias("drop_within_new"),
-        (
-            F.count(F.lit(1))
-            - F.sum(F.coalesce("g1", F.lit(0)))
-            - F.sum(F.coalesce("g2", F.lit(0)))
-            - F.sum(F.coalesce("g3", F.lit(0)))
-        )
+        n_of("drop_exact_vs_old"),
+        n_of("drop_near_vs_old"),
+        n_of("drop_within_new"),
+        F.sum(F.when(F.col("decision") == "accepted", 1).otherwise(0))
         .cast("long")
         .alias("n_accepted"),
     )

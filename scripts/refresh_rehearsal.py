@@ -12,9 +12,10 @@ components fallback at high replication.
 exponent = log(t_Rx / t_1x) / log(R); refresh-only time (build excluded).
 
 Usage: python scripts/refresh_rehearsal.py [replication ...]  (default 1 5 25)
-       python scripts/refresh_rehearsal.py --aging [n_batches]          (default 16)
-       python scripts/refresh_rehearsal.py --aging-raw [n_batches]      (default 16)
-       python scripts/refresh_rehearsal.py --aging-distinct [n_batches] (default 16)
+       python scripts/refresh_rehearsal.py --aging [n_batches]            (default 16)
+       python scripts/refresh_rehearsal.py --aging-raw [n_batches]        (default 16)
+       python scripts/refresh_rehearsal.py --aging-distinct [n_batches]   (default 16)
+       python scripts/refresh_rehearsal.py --aging-survivors [n_batches]  (default 16)
 
 --aging / --aging-raw / --aging-distinct drive the full production loop:
 build once, then n sequential generations of refresh(batch_k) ->
@@ -33,6 +34,12 @@ per-generation (every char-5-gram shingle differs), so appended band
 rows land in fresh buckets — if the creep is really cap×#increments
 bucket fan-out, this curve stays ~flat without compaction (any residual
 slope is the stored-artifact scan, linear in corpus size).
+--aging-survivors is the PRODUCTION loop: compaction on, and each
+generation appends only the rows refresh_decisions marks accepted —
+after generation 1 every repeat text is an exact dup of an appended
+survivor and drops at gate 1, so appends shrink to ~nothing and the
+curve should sit flat at the generation-1 level; the other modes'
+raw-batch appends are the deliberate misuse ceiling.
 """
 
 from __future__ import annotations
@@ -49,7 +56,12 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def aging(n_batches: int, auto_compact: bool, distinct_texts: bool = False) -> int:
+def aging(
+    n_batches: int,
+    auto_compact: bool,
+    distinct_texts: bool = False,
+    survivors_only: bool = False,
+) -> int:
     from pyspark.sql import functions as F
 
     import engine.pipeline6 as p6
@@ -109,10 +121,20 @@ def aging(n_batches: int, auto_compact: bool, distinct_texts: bool = False) -> i
         t0 = time.monotonic()
         p6.refresh_against_index(spark, batch, base).count()
         times.append(time.monotonic() - t0)
-        print(f"| {n_inc} | {times[-1]:.2f} |", flush=True)
+        to_append = batch
+        n_acc = ""
+        if survivors_only:
+            # untimed second pass: the production ingestor appends the
+            # accepted rows, not the raw batch
+            acc = p6.refresh_decisions(spark, batch, base).filter(
+                F.col("decision") == "accepted"
+            )
+            to_append = batch.join(acc.select("doc_id"), "doc_id", "left_semi")
+            n_acc = f" accepted {to_append.count()} |"
+        print(f"| {n_inc} | {times[-1]:.2f} |{n_acc}", flush=True)
         p6.append_to_refresh_index(
             spark,
-            batch,
+            to_append,
             base,
             auto_compact_after=p6._AUTO_COMPACT_INCREMENTS if auto_compact else None,
         )
@@ -135,11 +157,13 @@ def aging(n_batches: int, auto_compact: bool, distinct_texts: bool = False) -> i
 
 
 def main() -> int:
-    if sys.argv[1:2] in (["--aging"], ["--aging-raw"], ["--aging-distinct"]):
+    modes = ["--aging", "--aging-raw", "--aging-distinct", "--aging-survivors"]
+    if sys.argv[1:2] in [[m] for m in modes]:
         return aging(
             int(sys.argv[2]) if len(sys.argv) > 2 else 16,
-            auto_compact=sys.argv[1] == "--aging",
+            auto_compact=sys.argv[1] in ("--aging", "--aging-survivors"),
             distinct_texts=sys.argv[1] == "--aging-distinct",
+            survivors_only=sys.argv[1] == "--aging-survivors",
         )
     reps = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
     from pyspark.sql import functions as F

@@ -315,7 +315,23 @@ def test_refresh_index_append_loop(spark, tmp_path):
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
     accepted_ids = sorted((a_ids - near_old_a) - {i for i in rest if find(i) != i})
-    accepted_a = batch_a.filter(F.col("doc_id").isin(accepted_ids))
+
+    # the doc-level API must agree with the independent reconstruction,
+    # and the production loop appends ITS accepted rows (not a test-side
+    # re-derivation)
+    dec = p6.refresh_decisions(spark, batch_a, base)
+    api_accepted = sorted(
+        r["doc_id"]
+        for r in dec.filter(F.col("decision") == "accepted")
+        .select("doc_id")
+        .collect()
+    )
+    assert api_accepted == accepted_ids
+    accepted_a = batch_a.join(
+        dec.filter(F.col("decision") == "accepted").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
 
     # generation 2: append accepted-A, refresh B against the grown index
     p6.append_to_refresh_index(spark, accepted_a, base)
