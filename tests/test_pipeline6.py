@@ -148,6 +148,54 @@ def test_refresh_against_index_matches_monolithic_oracle(spark, duck):
     run_compare(spark, duck, "pipeline_incremental_refresh")
 
 
+def test_decisions_partition_batch_and_roll_up_to_manifest(spark, tmp_path):
+    """The doc-level/manifest contract: refresh_decisions assigns every
+    arrival EXACTLY one decision from the four labels, and
+    refresh_against_index is exactly its per-source rollup — if a future
+    edit lets the two surfaces drift (a gate added to one but not the
+    other), the production loop would append rows the manifest never
+    accounted for."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from engine.pipeline6 import (
+        build_refresh_index,
+        refresh_against_index,
+        refresh_decisions,
+    )
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    is_new = F.col("doc_id") % 5 == 0
+    base = str(tmp_path / "idx")
+    build_refresh_index(spark, d.filter(~is_new), base)
+    new = d.filter(is_new)
+
+    dec = refresh_decisions(spark, new, base).collect()
+    batch_ids = sorted(r["doc_id"] for r in new.select("doc_id").collect())
+    assert sorted(r["doc_id"] for r in dec) == batch_ids  # one row each
+    labels = {
+        "accepted",
+        "drop_exact_vs_old",
+        "drop_near_vs_old",
+        "drop_within_new",
+    }
+    assert {r["decision"] for r in dec} <= labels
+    assert len({r["decision"] for r in dec}) > 1  # fixture exercises gates
+
+    rollup = Counter((r["source"], r["decision"]) for r in dec)
+    for m in refresh_against_index(spark, new, base).collect():
+        s = m["source"]
+        assert m["n_accepted"] == rollup[(s, "accepted")]
+        assert m["drop_exact_vs_old"] == rollup[(s, "drop_exact_vs_old")]
+        assert m["drop_near_vs_old"] == rollup[(s, "drop_near_vs_old")]
+        assert m["drop_within_new"] == rollup[(s, "drop_within_new")]
+        assert m["n_arrived"] == sum(
+            v for (src, _), v in rollup.items() if src == s
+        )
+
+
 def test_refresh_matches_reference_algebra_across_splits(spark, tmp_path):
     """Beyond the registered %5 oracle: for several split moduli, the
     stored-index refresh manifest must equal a reference computed
