@@ -66,49 +66,49 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry [DATA].
 
     Plan: the kernel's capped-bucket candidate generation bounds the
-    pair set; containment reuses the kernel's PERSISTED signature
-    relation (minhash_signatures dedups by logical plan, so the ``hs``
-    int64 shingle-hash sets hit the cache the pair kernel already
-    populated — the string-shingle re-pass over the whole corpus this
-    op previously ran is gone from the plan entirely; warm runs were
-    already cache-dominated, the win is the cold/first run and one
-    less corpus-wide transform at scale), and the text joins carry only
-    (length, prefix40) — two hash joins on doc_id. Set arithmetic over
-    ``hs`` equals the oracle's string-shingle arithmetic unless
-    xxhash64 collides within a doc's ~1k-shingle set (≪1e-9; the
-    kernel's jaccard_dist already relies on this). 100 TB: audit tables
-    like this are the governance artifact dedup ships with — attrition
-    manifests say HOW MANY (pipeline_dedup_cascade), this says WHY
-    each."""
-    from engine.llmops import minhash_near_pairs, minhash_signatures
+    pair set, and containment comes from the kernel's ``detail=True``
+    columns — the EXACT (n_inter, n_a, n_b) its verify stage computes
+    anyway — so this operator adds no join that touches a shingle set:
+    the only additions are two hash joins against a (length, prefix40)
+    projection of the corpus. (History: the first version re-shingled
+    the corpus as string 5-grams — a second corpus-wide transform; the
+    second reused the persisted ``hs`` sets but their honest in-memory
+    size stats pushed the pair joins to sort-merge, shuffling every
+    doc's hash set twice — measured +0.4 s at sf0.1 and a heavy-side
+    shuffle at 100 TB. Pair-bounded arithmetic on already-computed ints
+    beats both.) n_inter over xxhash64 sets equals the oracle's
+    string-shingle arithmetic unless xxhash64 collides within a doc's
+    ~1k-shingle set (≪1e-9; the kernel's jaccard_dist already relies on
+    this). 100 TB: audit tables like this are the governance artifact
+    dedup ships with — attrition manifests say HOW MANY
+    (pipeline_dedup_cascade), this says WHY each."""
+    from engine.llmops import minhash_near_pairs
 
     d = load(spark, sf_dir, "documents")
-    sel = d.select("doc_id", "text")
-    pairs = minhash_near_pairs(sel)
-    sigs = minhash_signatures(sel).select("doc_id", "hs")
+    pairs = minhash_near_pairs(d.select("doc_id", "text"), detail=True)
     meta = d.select(
         "doc_id",
         F.length("text").alias("len"),
         F.substring("text", 1, 40).alias("p40"),
     )
-    sides = sigs.join(meta, "doc_id")
-    a = sides.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("hs").alias("sha"),
-        F.col("len").alias("la"),
-        F.col("p40").alias("pa"),
+    j = pairs.join(
+        meta.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("len").alias("la"),
+            F.col("p40").alias("pa"),
+        ),
+        "a_id",
+    ).join(
+        meta.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("len").alias("lb"),
+            F.col("p40").alias("pb"),
+        ),
+        "b_id",
     )
-    b = sides.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("hs").alias("shb"),
-        F.col("len").alias("lb"),
-        F.col("p40").alias("pb"),
-    )
-    j = pairs.join(a, "a_id").join(b, "b_id")
-    # EXACT intersection per pair (pair-bounded work) — deriving i back
-    # from the ROUNDED distance would carry up to (na+nb)*5e-5 ≈ 0.1
-    # shingles of error, enough to flip containment's 4-dp rounding.
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    # EXACT intersection per pair — deriving i back from the ROUNDED
+    # distance would carry up to (na+nb)*5e-5 ≈ 0.1 shingles of error,
+    # enough to flip containment's 4-dp rounding.
     return j.select(
         "a_id",
         "b_id",
@@ -117,7 +117,9 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("la", "lb").cast("double") / F.greatest("la", "lb"), 4
         ).alias("len_ratio"),
         F.round(
-            inter / F.least(F.size("sha"), F.size("shb")).cast("double"), 4
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+            4,
         ).alias("containment"),
         (F.col("pa") == F.col("pb")).alias("prefix40_equal"),
     )

@@ -228,7 +228,7 @@ def capped_lsh_band_rows(sig: DataFrame) -> DataFrame:
 
 
 def verify_near_pairs(
-    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame, detail: bool = False
 ) -> DataFrame:
     """Two-stage exact verification of LSH candidate pairs (a_id, b_id),
     reading each side's minhash columns + shingle set from sig_a / sig_b
@@ -249,7 +249,16 @@ def verify_near_pairs(
 
     Any extra columns on ``cand`` beyond (a_id, b_id) ride through to the
     output — pipeline6 tags candidates by gate and verifies both gates'
-    candidates in ONE tree."""
+    candidates in ONE tree.
+
+    ``detail=True`` additionally returns the exact per-pair evidence the
+    verify stage computes anyway — (n_inter, n_a, n_b) shingle-set
+    intersection and sizes — so audit consumers (dedup_pair_explain) can
+    derive containment WITHOUT re-joining the heavy ``hs`` relation:
+    those joins shuffle+sort every doc's hash set at honest size stats
+    (measured +0.4 s at sf0.1, a heavy-side shuffle at scale), while
+    these three ints are free here. Default False keeps the schema every
+    existing consumer pins."""
     extra = [c for c in cand.columns if c not in ("a_id", "b_id")]
     est_cols = [f"m{i}" for i in range(LSH_N_PERM)]
     ma = sig_a.select(
@@ -271,21 +280,38 @@ def verify_near_pairs(
     b = sig_b.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     dist = 1 - inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    detail_cols = (
+        [
+            inter.alias("n_inter"),
+            F.size("sa").alias("n_a"),
+            F.size("sb").alias("n_b"),
+        ]
+        if detail
+        else []
+    )
     return (
         pre.join(a, "a_id")
         .join(b, "b_id")
         .filter(dist <= 0.6)
-        .select("a_id", "b_id", F.round(dist, 4).alias("jaccard_dist"), *extra)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dist, 4).alias("jaccard_dist"),
+            *detail_cols,
+            *extra,
+        )
     )
 
 
-def minhash_near_pairs(d: DataFrame) -> DataFrame:
+def minhash_near_pairs(d: DataFrame, detail: bool = False) -> DataFrame:
     """The MinHash-LSH near-duplicate pair kernel behind dedup_near_minhash,
     factored over an arbitrary (doc_id, text, ...) relation so composed
     pipelines (pipeline_dedup_cascade) can run it on an intermediate stage's
     survivors instead of the raw documents table. Returns unordered
-    (a_id, b_id, jaccard_dist<=0.6) with dist rounded to 4. Full design
-    rationale + measured numbers: dedup_near_minhash's docstring above."""
+    (a_id, b_id, jaccard_dist<=0.6) with dist rounded to 4; ``detail=True``
+    appends the verify stage's exact (n_inter, n_a, n_b) — see
+    verify_near_pairs. Full design rationale + measured numbers:
+    dedup_near_minhash's docstring above."""
     # Three consumers read the signature subtree (band self-join x/y + the
     # two verify-side joins); without a persist the shingle explode + 32-min
     # agg — the expensive part — executes once PER consumer. MEMORY_AND_DISK,
@@ -307,7 +333,7 @@ def minhash_near_pairs(d: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    return verify_near_pairs(cand, mins, mins)
+    return verify_near_pairs(cand, mins, mins, detail=detail)
 
 
 # ---------------------------------------------------------------------------
