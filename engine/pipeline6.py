@@ -12,6 +12,7 @@ refresh is O(new × collisions), not O((old+new)²).
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
 import shutil
@@ -250,6 +251,19 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INDEX_CACHE: dict[tuple, str] = {}
+
+
+@atexit.register
+def _cleanup_index_cache() -> None:
+    # The cache dirs are per-process mkdtemps; in-process eviction keeps
+    # the live + one superseded entry, but nothing removed them at exit —
+    # every short-lived process (test run, bench, driver check) leaked
+    # one index dir per corpus into /tmp (~90 dirs/240 MB after one
+    # build day). Entries are never shared across processes by design,
+    # so exit-time removal is safe; any lazy plan still holding file
+    # references dies with the session anyway.
+    for d in _INDEX_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
 
 # Increment-aging policy (measured: scripts/refresh_rehearsal.py --aging-raw,
 # table in docs/SCALE.md r08). The per-bucket candidate cap is per-increment,
