@@ -4,6 +4,7 @@ count? Build the index once, time refresh warm, append 15 EMPTY
 increments (zero rows — artifact content unchanged), time refresh again.
 Any delta is pure increment-count overhead."""
 
+import shutil
 import sys
 import tempfile
 import time
@@ -40,6 +41,7 @@ def main() -> int:
     for _ in range(15):
         p6.append_to_refresh_index(spark, empty, base, auto_compact_after=None)
     time_refresh("15 empty increments")
+    shutil.rmtree(tdir, ignore_errors=True)
     return 0
 
 

@@ -224,6 +224,7 @@ def main() -> int:
         # its level is timed; leaking it would fill /tmp across repeated
         # rehearsals and fail later spill/checkpoint writes.
         shutil.rmtree(bdir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)  # ~100 MB sf0.1 index per run
     return 0
 
 
