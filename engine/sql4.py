@@ -69,7 +69,19 @@ def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration step (a recursive reference is not auto-cached), measured
     2.5-3.3 s vs 1.78 s at sf0.1 — the bigger the derived worktable, the
     bigger this win; same persist-multi-consumer rule as
-    dedup_near_minhash (docs/SCALE.md rule 6)."""
+    dedup_near_minhash (docs/SCALE.md rule 6).
+
+    Recursion guard (r08): chain depth grows with PER-KEY fact volume —
+    the 25× clone-dense rehearsal manufactured >100-deep chains and
+    tripped Spark's default MAX RECURSION LEVEL (100) with
+    RECURSION_LEVEL_LIMIT_EXCEEDED. No chain can be longer than its
+    customer's order count, so the guard is sized from the data (one
+    cheap max(rn) aggregate over the already-materialized base, +1
+    slack): legitimate corpora never trip it, while a runaway recursion
+    (a bug, e.g. a non-advancing join) still fails loudly at the true
+    data bound instead of iterating forever. Execution still stops at
+    the first empty worktable — the level guard costs nothing when
+    chains are short."""
     import tempfile
 
     tag = sftag(sf_dir)
@@ -83,10 +95,12 @@ def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sg_orders_{tag}
         """
     ).write.mode("overwrite").parquet(base_path)
-    spark.read.parquet(base_path).createOrReplaceTempView(f"sg_recbase_{tag}")
+    base = spark.read.parquet(base_path)
+    base.createOrReplaceTempView(f"sg_recbase_{tag}")
+    max_depth = (base.agg(F.max("rn")).first()[0] or 1) + 1
     return spark.sql(
         f"""
-        WITH RECURSIVE walk(cust, rn, d) AS (
+        WITH RECURSIVE walk(cust, rn, d) MAX RECURSION LEVEL {max_depth} AS (
           SELECT o_custkey, rn, o_orderdate FROM sg_recbase_{tag} WHERE rn = 1
           UNION ALL
           SELECT b.o_custkey, b.rn, b.o_orderdate
