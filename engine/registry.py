@@ -185,18 +185,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # for a rotation slot once all keys have a first attestation; first-time
 # attestation always outranks re-attestation.
 #
-# r09 window pre-registration (swap in at r09 start): the 20 remaining
-# r01-stale keys first —
-#   join_left_anti join_left_outer join_left_semi join_natural_using
-#   join_right_outer join_theta_range limit_offset project_rename_compute
-#   scan_csv_roundtrip scan_json_lines set_except set_except_all
-#   set_intersect set_intersect_all set_union_all set_union_distinct
-#   set_union_mixed_schema sink_parquet_roundtrip topk_order_limit
-#   topk_rank_with_ties
-# — then fill the remaining 30 slots with the oldest r02 greens (r02 rows
-# are 7 rounds stale by r09), alphabetical, recomputing
-# {k: max round with a green CORRECTNESS row for k} over r01..r08 files
-# in case intermediate rounds re-attested any.
+# r09 window (swap in at r09 start): the staleness policy is now
+# EXECUTABLE — run `python scripts/next_window.py 9` once
+# CORRECTNESS_r08.json lands and paste its list here (the swap commit).
+# tests/test_registry_window.py::test_window_equals_policy_output pins
+# this list == policy output, so a hand-edit that diverges fails the
+# suite. Expected shape at r09: the 20 remaining r01-stale keys
+# (join_left_anti ... topk_rank_with_ties), then the oldest r02 greens
+# (7 rounds stale by r09), alphabetical, 50 total.
 _WINDOW_ROUND = 8  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [

@@ -91,6 +91,28 @@ def test_window_round_is_current_or_just_completed():
     )
 
 
+def test_window_equals_policy_output():
+    """The committed _ATTEST_FIRST must be exactly what the executable
+    policy (scripts/next_window.py) derives from the CORRECTNESS files
+    that existed when the window was chosen (rounds < _WINDOW_ROUND).
+    This turns the registry's prose staleness policy into code: the
+    round-boundary swap is `python scripts/next_window.py <N>` → paste,
+    and any hand-edit that diverges from policy fails here. Evidence is
+    round-scoped, so the assertion is stable before AND after the
+    driver writes the window's own CORRECTNESS file."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from next_window import next_window
+
+    derived = [k for k, _ in next_window(_WINDOW_ROUND)]
+    assert derived == _ATTEST_FIRST, (
+        "committed window diverges from policy output: "
+        f"extra={sorted(set(_ATTEST_FIRST) - set(derived))}, "
+        f"missing={sorted(set(derived) - set(_ATTEST_FIRST))}"
+    )
+
+
 def test_window_targets_unattested_graduating_or_stale_keys():
     """Every slot must buy new driver evidence: the key has no
     CORRECTNESS row from any round before _WINDOW_ROUND, or its only
