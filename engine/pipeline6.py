@@ -234,8 +234,21 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
     base = _INDEX_CACHE.get(ck)
     if base is None or _current_gen(base) is None:
+        if base is not None:
+            # Torn cached dir (CURRENT gone but subdirs survive, e.g. a tmp
+            # cleaner): superseded-eviction below excludes the entry's own
+            # key, so drop it here or the rebuild overwrites the only
+            # reference and the dir leaks.
+            shutil.rmtree(_INDEX_CACHE.pop(ck), ignore_errors=True)
         base = tempfile.mkdtemp(prefix=f"sg-refreshidx-{sftag(sf_dir)}-")
-        build_refresh_index(spark, old, base)
+        try:
+            build_refresh_index(spark, old, base)
+        except BaseException:
+            # A failed build never reaches _INDEX_CACHE, so neither the
+            # eviction loop nor the atexit hook would ever remove it —
+            # each retry under disk pressure would leak another dir.
+            shutil.rmtree(base, ignore_errors=True)
+            raise
         # Evict superseded entries for the SAME corpus path (regenerated
         # parquet → new (mtime, size) key): a long-lived process would
         # otherwise leak one full index dir in /tmp per regeneration.
@@ -409,8 +422,9 @@ def append_to_refresh_index(
     increments accumulate — the LSM re-merge (compact_refresh_index) that
     restores the global cap and the flat refresh cost for ~0.3 s/batch
     amortized. Pass ``auto_compact_after=None`` to manage compaction
-    yourself; past _COMPACT_WARN_INCREMENTS that degrades loudly via a
-    RuntimeWarning instead of silently.
+    yourself; if increments then accumulate past _COMPACT_WARN_INCREMENTS
+    (also possible with a managed threshold laxer than that bound) the
+    append degrades loudly via a RuntimeWarning instead of silently.
     tests/test_pipeline6.py::test_refresh_index_append_loop drives two
     generations end-to-end; the auto-compaction policy curve is pinned by
     test_auto_compaction_bounds_increment_count."""
@@ -426,6 +440,12 @@ def append_to_refresh_index(
     if auto_compact_after is not None and n_inc >= auto_compact_after:
         compact_refresh_index(spark, base)
     elif n_inc > _COMPACT_WARN_INCREMENTS:
+        # Reached only when this call did NOT fold: the caller opted out
+        # (None) or chose a threshold laxer than the warn bound and the
+        # fan-out has now passed the recommended degradation point.
+        # Either way the creep is real, so the heads-up is legitimate —
+        # a managed caller with a threshold AT OR UNDER the warn bound
+        # can never land here (the first branch folds first).
         warnings.warn(
             f"refresh index at {base} has {n_inc} increments (warn bound "
             f"{_COMPACT_WARN_INCREMENTS}): per-bucket candidate fan-out "

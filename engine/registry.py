@@ -181,9 +181,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # plus the first 19 staleness-rotation slots (the oldest-green keys: 39
 # keys' latest driver row is still r01, 7 rounds stale; first 19
 # alphabetical).
-# Staleness policy: a green attestation older than 4 rounds is eligible
-# for a rotation slot once all keys have a first attestation; first-time
-# attestation always outranks re-attestation.
+# Staleness policy: a green attestation AT LEAST 4 rounds older than the
+# window's target round is eligible for a rotation slot once all keys
+# have a first attestation (the boundary scripts/next_window.py encodes:
+# newest_green <= target - 4); first-time attestation always outranks
+# re-attestation.
 #
 # r09 window (swap in at r09 start): the staleness policy is now
 # EXECUTABLE — run `python scripts/next_window.py 9` once

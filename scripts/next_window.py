@@ -88,9 +88,11 @@ def next_window(target_round: int | None = None) -> list[tuple[str, str]]:
             first_time.append((k, "graduating (rows-only/err history)"))
 
     window = first_time[:CAP]
-    if len(window) < CAP and not first_time[CAP:]:
+    if len(window) < CAP:
         # rotation legal: every key will have a first attestation once the
-        # first-time block above lands (or already has one)
+        # first-time block above lands (or already has one) — len(window)
+        # < CAP already implies no first-timer was left out of the window
+        # (window IS first_time when it's short of the cap)
         stale = [
             (k, g)
             for k, g in evidence.items()

@@ -110,8 +110,14 @@ def aging(
     # JVM/codepath warmup (not appended, not timed in the table)
     p6.refresh_against_index(spark, template, base).count()
 
-    print("| appended increments | refresh s |")
-    print("|---|---|")
+    # survivors mode appends a third cell per row, so its header needs a
+    # third column or the pasted markdown table renders malformed
+    if survivors_only:
+        print("| appended increments | refresh s | accepted |")
+        print("|---|---|---|")
+    else:
+        print("| appended increments | refresh s |")
+        print("|---|---|")
     times: list[float] = []
     for k in range(1, n_batches + 1):
         batch = make_batch(k)
@@ -130,7 +136,7 @@ def aging(
                 F.col("decision") == "accepted"
             )
             to_append = batch.join(acc.select("doc_id"), "doc_id", "left_semi")
-            n_acc = f" accepted {to_append.count()} |"
+            n_acc = f" {to_append.count()} |"
         print(f"| {n_inc} | {times[-1]:.2f} |{n_acc}", flush=True)
         p6.append_to_refresh_index(
             spark,

@@ -602,3 +602,55 @@ def test_auto_compaction_bounds_increment_count(spark, tmp_path):
         tuple(r) for r in p6.refresh_against_index(spark, batch0, b).collect()
     )
     assert man(auto_base) == man(raw_base)
+
+
+def test_failed_index_build_leaves_no_tmp_dir(spark, monkeypatch):
+    """A build_refresh_index failure (disk full, killed job) must not
+    leak the freshly-mkdtemp'd index dir: it never reaches _INDEX_CACHE,
+    so neither superseded-eviction nor the atexit hook would ever see it
+    — the cleanup has to happen on the failure path itself."""
+    import glob as g
+    import tempfile
+
+    import pytest as _pytest
+
+    import engine.pipeline6 as p6
+
+    monkeypatch.setattr(p6, "_INDEX_CACHE", {})
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated build failure")
+
+    monkeypatch.setattr(p6, "build_refresh_index", boom)
+    pattern = os.path.join(tempfile.gettempdir(), "sg-refreshidx-*")
+    before = set(g.glob(pattern))
+    with _pytest.raises(RuntimeError, match="simulated build failure"):
+        p6.pipeline_incremental_refresh(spark, SF_DIR)
+    assert set(g.glob(pattern)) == before
+    assert p6._INDEX_CACHE == {}
+
+
+def test_torn_cache_entry_is_evicted_not_leaked(spark, monkeypatch, tmp_path):
+    """A cached index dir whose CURRENT pointer vanished (e.g. a /tmp
+    cleaner) must be rmtree'd when the rebuild replaces it — the
+    superseded-eviction loop skips the entry's own key, so without
+    explicit eviction the overwrite drops the only reference."""
+    import shutil as _shutil
+
+    import engine.pipeline6 as p6
+
+    torn = tmp_path / "torn-idx"
+    (torn / "gen-000001").mkdir(parents=True)  # subdir survives, CURRENT gone
+    src = os.path.join(SF_DIR, "documents.parquet")
+    st = os.stat(src)
+    ck = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
+    monkeypatch.setattr(p6, "_INDEX_CACHE", {ck: str(torn)})
+    try:
+        assert p6.pipeline_incremental_refresh(spark, SF_DIR).count() > 0
+        assert not torn.exists()
+        assert ck in p6._INDEX_CACHE and p6._INDEX_CACHE[ck] != str(torn)
+    finally:
+        # monkeypatch restores the original cache dict on exit, so the
+        # rebuilt dir would leak without explicit removal here
+        for d in p6._INDEX_CACHE.values():
+            _shutil.rmtree(d, ignore_errors=True)
