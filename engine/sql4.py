@@ -222,7 +222,15 @@ def udtf_arrow_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the expansion factor (3×) happens INSIDE the Python worker per
     batch; only the already-filtered urgent rows reach Python (predicate
-    stays JVM-side), and the lateral join is map-local — no shuffle."""
+    stays JVM-side). The filtered input is REPARTITIONED to the session's
+    parallelism before the lateral join: per-row Python eval is the slow
+    stage, and the selective filter collapses a small scan to one
+    partition (sf0.1: 16k rows → 1 partition → one serial Python worker,
+    ~4 s; spread across 16-32 workers the same eval runs ~0.6 s). The
+    shuffle moves only the filtered keys — rows×2 columns — which is
+    noise next to the eval it parallelizes; at cluster scale the same
+    rule holds whenever a selective filter leaves fewer partitions than
+    the Python-bound stage deserves."""
     import datetime as dt
 
     from pyspark.sql.functions import udtf
@@ -240,7 +248,9 @@ def udtf_arrow_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= "1998-01-01")
-    ).createOrReplaceTempView(f"sg_urgent_{tag}")
+    ).repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        f"sg_urgent_{tag}"
+    )
     spark.udtf.register("sg_followups", Followups)
     return spark.sql(
         f"""
