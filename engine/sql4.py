@@ -222,15 +222,14 @@ def udtf_arrow_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the expansion factor (3×) happens INSIDE the Python worker per
     batch; only the already-filtered urgent rows reach Python (predicate
-    stays JVM-side). The filtered input is REPARTITIONED to the session's
-    parallelism before the lateral join: per-row Python eval is the slow
-    stage, and the selective filter collapses a small scan to one
-    partition (sf0.1: 16k rows → 1 partition → one serial Python worker,
-    ~4 s; spread across 16-32 workers the same eval runs ~0.6 s). The
-    shuffle moves only the filtered keys — rows×2 columns — which is
-    noise next to the eval it parallelizes; at cluster scale the same
-    rule holds whenever a selective filter leaves fewer partitions than
-    the Python-bound stage deserves."""
+    stays JVM-side). The filtered input goes through spread_cpu
+    (engine/textops.py:43) before the lateral join: per-row Python eval
+    is the slow stage, and the selective filter collapses the small scan
+    to one partition (sf0.1: 16k rows → 1 partition → one serial Python
+    worker, ~4 s; spread across the session's cores the same eval runs
+    ~0.6 s). The shuffle moves only the filtered keys — noise next to
+    the eval it parallelizes — and spread_cpu's under-parallel gate
+    makes it a no-op on a cluster scan that already has real splits."""
     import datetime as dt
 
     from pyspark.sql.functions import udtf
@@ -245,12 +244,14 @@ def udtf_arrow_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1998 slice: the key demonstrates the Arrow UDTF path, and per-row
     # eval() in Python dominates regardless of Arrow I/O — bound the input
     # so the 184-key sweep doesn't pay ~6 s for an API demo.
-    load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderpriority") == "1-URGENT")
-        & (F.col("o_orderdate") >= "1998-01-01")
-    ).repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
-        f"sg_urgent_{tag}"
-    )
+    from engine.textops import spread_cpu
+
+    spread_cpu(
+        load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1998-01-01")
+        )
+    ).createOrReplaceTempView(f"sg_urgent_{tag}")
     spark.udtf.register("sg_followups", Followups)
     return spark.sql(
         f"""
