@@ -141,3 +141,17 @@ def test_observe_metrics_match_direct_aggregate(spark):
         .collect()[0]
     )
     assert tuple(row) == tuple(direct)
+
+
+def test_udtf_arrow_expand_spreads_python_eval(spark):
+    """The selective urgent-orders filter collapses the small scan to one
+    partition, which would serialize the per-row Python eval through a
+    single worker (~4 s at sf0.1 vs ~0.7 s spread). Pin the spread_cpu
+    round-robin exchange in the executed plan so a refactor can't
+    silently reintroduce the serial stage."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    df = queries["udtf_arrow_expand"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
