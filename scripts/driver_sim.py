@@ -70,9 +70,20 @@ def main() -> int:
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     passed = failed = rows_only = 0
+    n_run = 0
     for key in sorted(queries):
         if only and key not in only:
             continue
+        # Torrent-broadcast pieces are reclaimed by the ContextCleaner only
+        # after a JVM GC notices the references are dead; a 364-key session
+        # accumulates thousands of them (more with AQE runtime broadcasts)
+        # and the 1g local driver heap hit a GCLocker broadcast OOM late in
+        # the AQE-on run (tpch_q9, pass in isolation). Nudge GC every 50
+        # keys — what a long-lived production driver gets from its own
+        # steady-state GC cadence.
+        n_run += 1
+        if n_run % 50 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             sp = queries[key](spark, sf_dir).toPandas()

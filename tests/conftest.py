@@ -14,6 +14,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The suite's plan-shape asserts pin the LOCAL profile (no AdaptiveSparkPlan
+# wrappers); an inherited SPARK_GRAFT_AQE=true would fail them confusingly.
+# AQE behavior is tested explicitly via runtime confs in tests/test_aqe.py.
+os.environ["SPARK_GRAFT_AQE"] = "false"
+
 from engine.session import get_spark  # noqa: E402
 from engine.tables import TABLES  # noqa: E402
 
