@@ -19,7 +19,7 @@ rounded value.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -290,7 +290,7 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats (which only help when the file is SORTED by the probe
     column — pair with sink_sorted_clustered for the full story); the
     filter itself is also pushed (PushedFilters: In(o_custkey, ...))."""
-    base = tempfile.mkdtemp(prefix=f"sg-bloom-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-bloom-{sftag(sf_dir)}-")
     load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     ).write.mode("overwrite").option(

@@ -20,7 +20,7 @@ md5 is identical hex in both engines.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +54,7 @@ def scan_json_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte, DROPMALFORMED silently biases the corpus. Quarantined raw
     strings stay queryable for repair. Per-file work is embarrassingly
     parallel; the audit aggregate is one partial-agg pass."""
-    base = tempfile.mkdtemp(prefix=f"sg-json-corrupt-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-json-corrupt-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     line = F.to_json(F.struct("event_id", "user_id", "value"))
     # Truncate every 7th line: drop the closing brace and tail — guaranteed

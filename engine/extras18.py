@@ -16,7 +16,7 @@ row-by-row; drift nulls are counted, never silently dropped.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +50,7 @@ def sink_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality operational keys (date, source, type), never on
     high-cardinality ones (file-per-value explosion — the small-files
     problem etl_compact_small_files handles)."""
-    base = tempfile.mkdtemp(prefix=f"sg-hivepart-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-hivepart-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").select(
         "event_id", "value", "event_type"
     ).write.mode("overwrite").partitionBy("event_type").parquet(base)
@@ -228,7 +228,7 @@ def scan_csv_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     to any number of generations (fold unionByName over the batch list).
     Per-file parse stays embarrassingly parallel; the union is a plan
     concat, not a shuffle."""
-    base = tempfile.mkdtemp(prefix=f"sg-drift-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-drift-{sftag(sf_dir)}-")
     c = load(spark, sf_dir, "customer")
     c.filter(F.col("c_custkey") % 2 == 1).select(
         "c_custkey", "c_name"

@@ -16,7 +16,7 @@ in tests, the VALUES by the driver hash.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,7 +59,7 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the user copying the filter onto the fact table. Requires
     (a) fact partitioned on the join key, (b) broadcastable dim;
     both are layout decisions this repo's sink keys demonstrate."""
-    base = tempfile.mkdtemp(prefix=f"sg-dpp-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-dpp-{sftag(sf_dir)}-")
     load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(base)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import tempfile
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -289,11 +291,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = f"{tempfile.gettempdir()}/sg_fb_upsert_{sftag(sf_dir)}"
     shutil.rmtree(state_dir, ignore_errors=True)
-    src = tempfile.mkdtemp(prefix=f"sg-fb-src-{sftag(sf_dir)}-")
+    src = scratch_dir(prefix=f"sg-fb-src-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
     for i in range(3):
         part = e.filter(F.col("event_id") % 3 == i)
-        sub = tempfile.mkdtemp(prefix=f"sg-fb-part{i}-")
+        sub = scratch_dir(prefix=f"sg-fb-part{i}-")
         part.coalesce(1).write.mode("overwrite").parquet(sub)
         name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
         dest = f"{src}/batch{i}.parquet"
@@ -317,7 +319,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(f"{state_dir}/next", f"{state_dir}/cur")
 
     s = spark.readStream.schema("event_id long, user_id long").parquet(src)
-    ckpt = tempfile.mkdtemp(prefix="sg-fb-ckpt-")
+    ckpt = scratch_dir(prefix="sg-fb-ckpt-")
     q = (
         s.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)

@@ -16,7 +16,7 @@ repartition(4).
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +48,7 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bad-file manifest), audit trails, and debugging skewed files. It
     is populated from the scan's own file listing: zero extra IO, and
     filters on it prune at the FILE level like partition filters."""
-    base = tempfile.mkdtemp(prefix=f"sg-meta-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-meta-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").select("event_id", "value").repartition(
         4
     ).write.mode("overwrite").parquet(base)

@@ -15,7 +15,7 @@ operand and orders by a unique key pair.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,7 +108,7 @@ def etl_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    base = tempfile.mkdtemp(prefix=f"sg-ckrec-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-ckrec-{sftag(sf_dir)}-")
     src.write.mode("overwrite").parquet(base)
     copy = spark.read.parquet(base)
 

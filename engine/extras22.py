@@ -19,7 +19,8 @@ derived deterministically and audited by length + hash, not by filename.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,7 +140,7 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one record. Caveat at scale: each file must fit in one task's memory
     — it is deliberately NOT splittable; shard oversized documents
     upstream or switch to line/offset framing."""
-    base = tempfile.mkdtemp(prefix=f"sg-whole-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-whole-{sftag(sf_dir)}-")
     n = load(spark, sf_dir, "nation")
     parts = (
         n.groupBy("n_regionkey")

@@ -14,7 +14,7 @@ audited by counts and sums, not file bytes.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,7 +94,7 @@ def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV — splittable by line, embarrassingly parallel per file; the
     dialect costs nothing at scale, unlike non-splittable gzip
     (sink_compression_codecs' caveat)."""
-    base = tempfile.mkdtemp(prefix=f"sg-mcd-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-mcd-{sftag(sf_dir)}-")
     load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     ).write.mode("overwrite").option("sep", "||").option("header", "true").csv(base)

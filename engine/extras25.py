@@ -16,7 +16,7 @@ the division is rounded once.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,7 +96,7 @@ def etl_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink) is the cheap invariant that catches a half-written sink."""
     from pyspark import StorageLevel
 
-    base = tempfile.mkdtemp(prefix=f"sg-fanout-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-fanout-{sftag(sf_dir)}-")
     sl = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")

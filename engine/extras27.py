@@ -15,7 +15,8 @@ measured by output row count equality.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +54,7 @@ def etl_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of the subject id means the partitions to rewrite are COMPUTED,
     never searched. Table formats (Delta/Iceberg) refine the same idea
     to file-level deletes; bare parquet makes the mechanics explicit."""
-    base = tempfile.mkdtemp(prefix=f"sg-erase-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-erase-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     e.withColumn("bucket", F.col("user_id") % 16).write.mode(
         "overwrite"
@@ -109,14 +110,14 @@ def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     checkpoint; wipe either and replays duplicate. Pair with
     foreachBatch idempotent merges (stream_foreachbatch_upsert) for
     sinks without a transaction log."""
-    src_dir = tempfile.mkdtemp(prefix=f"sg-xo-src-{sftag(sf_dir)}-")
+    src_dir = scratch_dir(prefix=f"sg-xo-src-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "value").coalesce(2).write.mode(
         "overwrite"
     ).parquet(src_dir)
-    out = tempfile.mkdtemp(prefix=f"sg-xo-out-{sftag(sf_dir)}-")
-    ckpt = tempfile.mkdtemp(prefix=f"sg-xo-ckpt-{sftag(sf_dir)}-")
+    out = scratch_dir(prefix=f"sg-xo-out-{sftag(sf_dir)}-")
+    ckpt = scratch_dir(prefix=f"sg-xo-ckpt-{sftag(sf_dir)}-")
 
     def run_once() -> None:
         s = spark.readStream.schema("event_id long, user_id long, value double").parquet(

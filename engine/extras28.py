@@ -16,7 +16,8 @@ the synthesized string; timestamps compare in UTC microseconds.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +52,7 @@ def sink_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog pointer) — the data write is big and non-atomic, the COMMIT
     is one tiny atomic rename. Readers pay one extra small read; writers
     never block readers."""
-    base = tempfile.mkdtemp(prefix=f"sg-pub-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-pub-{sftag(sf_dir)}-")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import tempfile
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,7 +49,7 @@ def scan_parquet_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-scan filtering. The capability is conf-on-by-default
     (spark.sql.optimizer.nestedSchemaPruning.enabled); this key keeps it
     regression-pinned."""
-    base = tempfile.mkdtemp(prefix=f"sg-nested-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-nested-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").select(
         "event_id",
         F.struct("user_id", "event_type").alias("meta"),

@@ -16,7 +16,7 @@ STREAMING Python DataSource (SURVEY §2 extensions; the reference at
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -199,7 +199,7 @@ def scan_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     _register_seq_stream_source(spark)
     df = spark.readStream.format("sg_seq_stream").option("n", "1000").load()
-    ckpt = tempfile.mkdtemp(prefix=f"sg-pysds-{sftag(sf_dir)}-")
+    ckpt = scratch_dir(prefix=f"sg-pysds-{sftag(sf_dir)}-")
     name = f"sg_pysds_{sftag(sf_dir)}"
     q = (
         df.writeStream.format("memory")

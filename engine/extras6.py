@@ -14,7 +14,8 @@ Three unrelated surfaces a reference-parity engine still owed:
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,7 +110,7 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", payload.alias("payload"))
     out = os.path.join(
-        tempfile.mkdtemp(prefix=f"sg-csvml-{sftag(sf_dir)}-"), "data"
+        scratch_dir(prefix=f"sg-csvml-{sftag(sf_dir)}-"), "data"
     )
     src.write.mode("overwrite").option("header", "true").option(
         "escape", '"'

@@ -13,7 +13,7 @@ extension; the reference at /root/reference is an empty directory — SURVEY
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,7 +131,7 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     snappy on text-heavy columns at similar scan CPU; gzip CSV is
     NON-SPLITTABLE (one task per file — keep files ≤ a few hundred MB or
     use bzip2/no compression for parallel ingest of giant files)."""
-    base = tempfile.mkdtemp(prefix=f"sg-codecs-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-codecs-{sftag(sf_dir)}-")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 10000).select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )

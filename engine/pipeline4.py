@@ -11,7 +11,7 @@ capstone exercises that storage contract end-to-end.
 
 from __future__ import annotations
 
-import tempfile
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,7 +91,7 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 
-    base = tempfile.mkdtemp(prefix=f"sg-annidx-{sftag(sf_dir)}-")
+    base = scratch_dir(prefix=f"sg-annidx-{sftag(sf_dir)}-")
 
     # BUILD: multi-assignment — every vector is stored in its top-nprobe
     # clusters (postings replicated ×nprobe). Single home-cluster postings

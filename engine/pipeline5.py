@@ -15,6 +15,8 @@ import os
 import shutil
 import tempfile
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,13 +62,13 @@ def pipeline_stream_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_foreachbatch_upsert."""
     state_dir = f"{tempfile.gettempdir()}/sg_serving_{sftag(sf_dir)}"
     shutil.rmtree(state_dir, ignore_errors=True)
-    src = tempfile.mkdtemp(prefix=f"sg-srv-src-{sftag(sf_dir)}-")
+    src = scratch_dir(prefix=f"sg-srv-src-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     for i in range(3):
         part = e.filter(F.col("event_id") % 3 == i)
-        sub = tempfile.mkdtemp(prefix=f"sg-srv-part{i}-")
+        sub = scratch_dir(prefix=f"sg-srv-part{i}-")
         part.coalesce(1).write.mode("overwrite").parquet(sub)
         name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
         dest = f"{src}/batch{i}.parquet"
@@ -98,7 +100,7 @@ def pipeline_stream_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.readStream.schema(
         "event_id long, ts timestamp, event_type string, value double"
     ).parquet(src)
-    ckpt = tempfile.mkdtemp(prefix="sg-srv-ckpt-")
+    ckpt = scratch_dir(prefix="sg-srv-ckpt-")
     q = (
         s.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)

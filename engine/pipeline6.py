@@ -19,6 +19,8 @@ import shutil
 import tempfile
 import warnings
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -240,7 +242,7 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # key, so drop it here or the rebuild overwrites the only
             # reference and the dir leaks.
             shutil.rmtree(_INDEX_CACHE.pop(ck), ignore_errors=True)
-        base = tempfile.mkdtemp(prefix=f"sg-refreshidx-{sftag(sf_dir)}-")
+        base = scratch_dir(prefix=f"sg-refreshidx-{sftag(sf_dir)}-")
         try:
             build_refresh_index(spark, old, base)
         except BaseException:

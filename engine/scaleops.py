@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import tempfile
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -342,8 +344,8 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-invocation dirs (mkdtemp), NOT fixed paths: a concurrent
     # invocation for the same sf_dir (parallel pytest, bench re-runs)
     # would otherwise overwrite part files mid-scan of the other's read.
-    frag_dir = tempfile.mkdtemp(prefix=f"sg_compact_frag_{sftag(sf_dir)}_")
-    comp_dir = tempfile.mkdtemp(prefix=f"sg_compact_out_{sftag(sf_dir)}_")
+    frag_dir = scratch_dir(prefix=f"sg_compact_frag_{sftag(sf_dir)}_")
+    comp_dir = scratch_dir(prefix=f"sg_compact_out_{sftag(sf_dir)}_")
     etl_compact_small_files._last_dirs = (frag_dir, comp_dir)  # for tests
     o = load(spark, sf_dir, "orders")
     o.repartition(32).write.mode("overwrite").parquet(frag_dir)

@@ -6,7 +6,8 @@ two layout-level contracts every warehouse-shaped pipeline relies on.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +49,7 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     path = os.path.join(
-        tempfile.mkdtemp(prefix=f"sg-dynpart-{sftag(sf_dir)}-"), "orders_t"
+        scratch_dir(prefix=f"sg-dynpart-{sftag(sf_dir)}-"), "orders_t"
     )
     o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
     upd = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
@@ -91,7 +92,7 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _GLOB_SRC_CACHE.get(sf_dir)
     if src is None:
         d = load(spark, sf_dir, "documents")
-        src = tempfile.mkdtemp(prefix=f"sg-globsrc-{sftag(sf_dir)}-")
+        src = scratch_dir(prefix=f"sg-globsrc-{sftag(sf_dir)}-")
         os.makedirs(f"{src}/a/b", exist_ok=True)
         d.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/a/even.parquet")
         d.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{src}/a/b/odd.parquet")
@@ -138,7 +139,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
-    out_dir = tempfile.mkdtemp(prefix=f"sg-pyds-sink-{sftag(sf_dir)}-")
+    out_dir = scratch_dir(prefix=f"sg-pyds-sink-{sftag(sf_dir)}-")
 
     class JsonShardWriter(DataSourceWriter):
         def __init__(self, options):

@@ -23,6 +23,8 @@ executes it with standard-SQL-equivalent semantics:
 
 from __future__ import annotations
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,11 +84,9 @@ def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     data bound instead of iterating forever. Execution still stops at
     the first empty worktable — the level guard costs nothing when
     chains are short."""
-    import tempfile
-
     tag = sftag(sf_dir)
     load(spark, sf_dir, "orders").createOrReplaceTempView(f"sg_orders_{tag}")
-    base_path = tempfile.mkdtemp(prefix=f"sg-recbase-{tag}-")
+    base_path = scratch_dir(prefix=f"sg-recbase-{tag}-")
     spark.sql(
         f"""
         SELECT o_custkey, o_orderdate,

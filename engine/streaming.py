@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import tempfile
 
+from engine.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -209,7 +211,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         d = _SRC_DIR_CACHE.get(sf_dir)
         if d is None:
-            d = tempfile.mkdtemp(prefix="sg-events-src-")
+            d = scratch_dir(prefix="sg-events-src-")
             os.symlink(src, f"{d}/events.parquet")
             _SRC_DIR_CACHE[sf_dir] = d
     raw = spark.readStream.schema(schema).format("parquet").load(d)
@@ -238,7 +240,7 @@ def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     # One shared checkpoint root per process; each run still gets its own
     # fresh checkpoint subtree (a reused checkpoint would replay nothing).
     if not _CKPT_ROOT:
-        _CKPT_ROOT.append(tempfile.mkdtemp(prefix="sg-ckpt-root-"))
+        _CKPT_ROOT.append(scratch_dir(prefix="sg-ckpt-root-"))
     ckpt = tempfile.mkdtemp(prefix=f"{name}-", dir=_CKPT_ROOT[0])
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -346,7 +348,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three batch write jobs per run, pure sweep overhead).
     src = _LATE_SRC_CACHE.get(sf_dir)
     if src is None:
-        src = tempfile.mkdtemp(prefix=f"sg-late-src-{sftag(sf_dir)}-")
+        src = scratch_dir(prefix=f"sg-late-src-{sftag(sf_dir)}-")
         for i, part in enumerate(
             [
                 e.filter((F.col("ts") >= cutoff) & (F.col("ts") < gap)),
@@ -354,7 +356,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.filter(F.col("ts") < cutoff),
             ]
         ):
-            sub = tempfile.mkdtemp(prefix=f"sg-late-part{i}-")
+            sub = scratch_dir(prefix=f"sg-late-part{i}-")
             part.coalesce(1).write.mode("overwrite").parquet(sub)
             name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
             dest = f"{src}/batch{i}.parquet"

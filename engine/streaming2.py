@@ -17,7 +17,8 @@ carries a FULL SQL oracle.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from engine.tmpdirs import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,14 +142,14 @@ def stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _TIMEOUT_SRC_CACHE.get(sf_dir)
     if src is None:
-        src = tempfile.mkdtemp(prefix=f"sg-ett-src-{sftag(sf_dir)}-")
+        src = scratch_dir(prefix=f"sg-ett-src-{sftag(sf_dir)}-")
         for i, part in enumerate(
             [
                 e.filter(F.col("ts") < _SPLIT),
                 e.filter(F.col("ts") >= _SPLIT),
             ]
         ):
-            sub = tempfile.mkdtemp(prefix=f"sg-ett-part{i}-")
+            sub = scratch_dir(prefix=f"sg-ett-part{i}-")
             part.coalesce(1).write.mode("overwrite").parquet(sub)
             name = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
             dest = f"{src}/batch{i}.parquet"

@@ -106,3 +106,28 @@ def test_lateral_topk_ties_short_and_empty_groups(spark, tmp_path):
         (1, 3, 30.0),
         (2, 7, 5.0),  # short group survives with its single row
     ]
+
+
+def test_scratch_dirs_removed_at_process_exit():
+    """engine.tmpdirs.scratch_dir: every operator scratch dir is removed
+    by the atexit sweep — previously ~40 bare mkdtemp sites leaked one
+    corpus-sized dir per invocation per process (see engine/tmpdirs.py).
+    Run a child interpreter so the exit hook actually fires."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; sys.path.insert(0, '/root/repo')\n"
+        "from engine.tmpdirs import scratch_dir\n"
+        "d = scratch_dir('sg-scratchtest-')\n"
+        "open(os.path.join(d, 'x'), 'w').write('x')\n"
+        "print(d)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    d = out.stdout.strip().splitlines()[-1]
+    assert "sg-scratchtest-" in d
+    import os
+
+    assert not os.path.exists(d)

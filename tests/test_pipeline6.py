@@ -606,27 +606,38 @@ def test_auto_compaction_bounds_increment_count(spark, tmp_path):
 
 def test_failed_index_build_leaves_no_tmp_dir(spark, monkeypatch):
     """A build_refresh_index failure (disk full, killed job) must not
-    leak the freshly-mkdtemp'd index dir: it never reaches _INDEX_CACHE,
+    leak the freshly-created index dir: it never reaches _INDEX_CACHE,
     so neither superseded-eviction nor the atexit hook would ever see it
-    — the cleanup has to happen on the failure path itself."""
-    import glob as g
-    import tempfile
-
+    — the cleanup has to happen on the failure path itself. The check
+    records the dirs THIS call creates (wrapping scratch_dir) rather
+    than globbing /tmp, which raced concurrent test/bench processes
+    creating their own index dirs."""
     import pytest as _pytest
 
     import engine.pipeline6 as p6
+    from engine.tmpdirs import scratch_dir as real_scratch
 
     monkeypatch.setattr(p6, "_INDEX_CACHE", {})
+    created: list[str] = []
+
+    def recording_scratch(prefix):
+        d = real_scratch(prefix)
+        created.append(d)
+        return d
+
+    monkeypatch.setattr(p6, "scratch_dir", recording_scratch)
 
     def boom(*a, **k):
         raise RuntimeError("simulated build failure")
 
     monkeypatch.setattr(p6, "build_refresh_index", boom)
-    pattern = os.path.join(tempfile.gettempdir(), "sg-refreshidx-*")
-    before = set(g.glob(pattern))
+    # __wrapped__: the @query wrapper memoizes the plan per (session,
+    # sf_dir), so after any earlier test ran the capstone the wrapped
+    # call would return the cached plan without executing the body
     with _pytest.raises(RuntimeError, match="simulated build failure"):
-        p6.pipeline_incremental_refresh(spark, SF_DIR)
-    assert set(g.glob(pattern)) == before
+        p6.pipeline_incremental_refresh.__wrapped__(spark, SF_DIR)
+    assert created, "pipeline never allocated an index dir?"
+    assert not any(os.path.exists(d) for d in created)
     assert p6._INDEX_CACHE == {}
 
 
@@ -646,7 +657,8 @@ def test_torn_cache_entry_is_evicted_not_leaked(spark, monkeypatch, tmp_path):
     ck = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
     monkeypatch.setattr(p6, "_INDEX_CACHE", {ck: str(torn)})
     try:
-        assert p6.pipeline_incremental_refresh(spark, SF_DIR).count() > 0
+        # __wrapped__ bypasses the @query plan memo (see previous test)
+        assert p6.pipeline_incremental_refresh.__wrapped__(spark, SF_DIR).count() > 0
         assert not torn.exists()
         assert ck in p6._INDEX_CACHE and p6._INDEX_CACHE[ck] != str(torn)
     finally:
