@@ -238,10 +238,13 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if base is None or _current_gen(base) is None:
         if base is not None:
             # Torn cached dir (CURRENT gone but subdirs survive, e.g. a tmp
-            # cleaner): superseded-eviction below excludes the entry's own
-            # key, so drop it here or the rebuild overwrites the only
-            # reference and the dir leaks.
-            shutil.rmtree(_INDEX_CACHE.pop(ck), ignore_errors=True)
+            # cleaner): evict the entry so the rebuild doesn't overwrite the
+            # only reference, but do NOT rmtree — a manifest returned before
+            # the tear may still lazily read the surviving parquet (the same
+            # lazy-plan grace the superseded-retention below gives), and
+            # every cached dir was allocated via scratch_dir, so the exit
+            # sweep removes it; no leak beyond the process.
+            _INDEX_CACHE.pop(ck)
         base = scratch_dir(prefix=f"sg-refreshidx-{sftag(sf_dir)}-")
         try:
             build_refresh_index(spark, old, base)

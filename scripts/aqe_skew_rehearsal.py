@@ -8,8 +8,10 @@ clusters. This rehearsal MEASURES that claim on a manufactured skewed
 join instead of asserting it:
 
   - left: spark.range rows where ~90% of rows share ONE hot key (the
-    classic power-law customer), the rest spread over 1k cold keys;
-  - right: one payload row per key (forced sort-merge: broadcast off);
+    classic power-law customer), the rest spread over 100 cold keys
+    (ids with id%10==9 keep id%1000, i.e. {9,19,...,999});
+  - right: one payload row per each of 1000 keys, so 900 right keys
+    deliberately match nothing (forced sort-merge: broadcast off);
   - run the join AQE-off (one straggler partition owns the hot key)
     and AQE-on with the skew thresholds scaled to local data sizes
     (the defaults trigger at 256 MB partitions; local shuffle
@@ -62,7 +64,26 @@ def skewed_frames(spark, n_rows: int):
     return left, right
 
 
-def run_join(spark, n_rows: int) -> float:
+def with_confs(spark, confs):
+    """Set runtime confs, returning the prior values for restore()."""
+    base = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return base
+
+
+def restore_confs(spark, base):
+    for k, v in base.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def run_join(spark, n_rows: int):
+    """One executed join; returns (elapsed_s, executed DataFrame) so the
+    plan evidence can be read from the SAME query that was timed (AQE
+    finalizes executedPlan only after execution)."""
     from pyspark.sql import functions as F
 
     left, right = skewed_frames(spark, n_rows)
@@ -71,16 +92,7 @@ def run_join(spark, n_rows: int) -> float:
     )
     t0 = time.monotonic()
     out.collect()
-    return time.monotonic() - t0
-
-
-def plan_of(spark, n_rows: int) -> str:
-    left, right = skewed_frames(spark, n_rows)
-    from pyspark.sql import functions as F
-
-    out = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
-    out.collect()  # AQE finalizes the plan only after execution
-    return out._jdf.queryExecution().executedPlan().toString()
+    return time.monotonic() - t0, out
 
 
 def main() -> None:
@@ -95,21 +107,18 @@ def main() -> None:
     run_join(spark, 1_000_000)
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t_off = min(run_join(spark, n_rows) for _ in range(3))
+    t_off = min(run_join(spark, n_rows)[0] for _ in range(3))
 
-    for k, v in _AQE_CONFS.items():
-        spark.conf.set(k, v)
-    t_on = min(run_join(spark, n_rows) for _ in range(3))
-    plan = plan_of(spark, n_rows)
+    with_confs(spark, _AQE_CONFS)
+    runs = [run_join(spark, n_rows) for _ in range(3)]
+    t_on = min(t for t, _ in runs)
+    # plan evidence from the LAST TIMED query — not a separate re-execution
+    plan = runs[-1][1]._jdf.queryExecution().executedPlan().toString()
     # Spark 4 prints the split as `SortMergeJoin(skew=true)`; older
     # releases used `isSkewJoin=true` — accept either.
     skew_marked = "skew=true" in plan or "isSkewJoin=true" in plan
 
-    for k, v in base.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    restore_confs(spark, base)
 
     print(f"| rows | hot-key share | AQE off s | AQE on s | skew split in plan |")
     print(f"|---|---|---|---|---|")

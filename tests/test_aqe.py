@@ -12,27 +12,17 @@ import sys
 sys.path.insert(0, "/root/repo/scripts")
 
 
-def _with_confs(spark, confs):
-    base = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    return base
-
-
-def _restore(spark, base):
-    for k, v in base.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
-
-
 def test_aqe_splits_manufactured_skew_and_preserves_result(spark):
     """With skew thresholds scaled to local shuffle sizes, AQE must mark
     the hot-key sort-merge join as split (`skew=true`) and return the
     same aggregate as the AQE-off run — the mechanism a cluster applies
     to multi-GB skewed partitions at the default thresholds."""
-    from aqe_skew_rehearsal import _AQE_CONFS, skewed_frames
+    from aqe_skew_rehearsal import (
+        _AQE_CONFS,
+        restore_confs,
+        skewed_frames,
+        with_confs,
+    )
 
     from pyspark.sql import functions as F
 
@@ -41,7 +31,7 @@ def test_aqe_splits_manufactured_skew_and_preserves_result(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
     )
 
-    base_off = _with_confs(
+    base_off = with_confs(
         spark,
         {
             "spark.sql.adaptive.enabled": "false",
@@ -51,15 +41,15 @@ def test_aqe_splits_manufactured_skew_and_preserves_result(spark):
     try:
         expected = q().collect()[0]
     finally:
-        _restore(spark, base_off)
+        restore_confs(spark, base_off)
 
-    base_on = _with_confs(spark, _AQE_CONFS)
+    base_on = with_confs(spark, _AQE_CONFS)
     try:
         out = q()
         got = out.collect()[0]
         plan = out._jdf.queryExecution().executedPlan().toString()
     finally:
-        _restore(spark, base_on)
+        restore_confs(spark, base_on)
 
     assert (got["n"], got["sv"]) == (expected["n"], expected["sv"])
     assert "skew=true" in plan or "isSkewJoin=true" in plan, plan
