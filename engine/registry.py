@@ -192,9 +192,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r08.json lands and paste its list here (the swap commit).
 # tests/test_registry_window.py::test_window_equals_policy_output pins
 # this list == policy output, so a hand-edit that diverges fails the
-# suite. Expected shape at r09: the 20 remaining r01-stale keys
-# (join_left_anti ... topk_rank_with_ties), then the oldest r02 greens
-# (7 rounds stale by r09), alphabetical, 50 total.
+# suite. Rehearsed in-round (r08, simulated all-green r08 evidence):
+# exactly 50 keys — the 20 remaining r01-stale keys (join_left_anti,
+# join_left_outer, join_left_semi, join_natural_using, join_right_outer,
+# join_theta_range, limit_offset, project_rename_compute,
+# scan_csv_roundtrip, scan_json_lines, set_except, set_except_all,
+# set_intersect, set_intersect_all, set_union_all, set_union_distinct,
+# set_union_mixed_schema, sink_parquet_roundtrip, topk_order_limit,
+# topk_rank_with_ties), then the 30 oldest r02 greens alphabetical
+# (dedup_embedding_cosine ... text_lang_id). Any red r08 row would
+# re-enter its key ahead of rotation — re-run the script, don't paste
+# the rehearsal blindly.
 _WINDOW_ROUND = 8  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
