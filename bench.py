@@ -47,6 +47,23 @@ def _semi_anti(spark, sf_dir):
     return ok.agg(F.count("*").alias("cnt"))
 
 
+def _git_head() -> str:
+    """HEAD sha stamped into every bench line/sidecar (VERDICT r08 item 8):
+    the committed quiet-host sweep and the driver's loaded run can disagree
+    by ±2× on single keys, so a sidecar must be attributable to the exact
+    code it measured before anyone diffs it against another round."""
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _load_note() -> dict:
     """Host-contention annotation (VERDICT r04 item 4): the bench host has
     documented co-tenant noise with ±2× swings, so every bench line records
@@ -73,6 +90,7 @@ def main() -> int:
     # misread (the r05-final sweep ran at loadavg 6.5 and polluted deltas).
     load_at_start = _load_note()
     quiet = load_at_start.get("loadavg_1m", 99.0) < 2.0
+    git_head = _git_head()
 
     from engine.registry import collect
     from engine.session import get_spark
@@ -125,6 +143,7 @@ def main() -> int:
         "load": _load_note(),
         "load_at_start": load_at_start,
         "quiet_host": quiet,
+        "git_head": git_head,
         "sf": sf,
     }
 
@@ -165,6 +184,7 @@ def main() -> int:
             "load": _load_note(),
             "load_at_start": load_at_start,
             "quiet_host": quiet,
+            "git_head": git_head,
             "n_keys": len(sweep),
             "failed": sorted(k for k, v in sweep.items() if v < 0),
             "sweep": sweep,

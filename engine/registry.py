@@ -176,94 +176,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (20), emb (3), etl (14), fn (8), join (3), and 2 of the 3 sample keys.
 # Came back 50/50 green (CORRECTNESS_r07.json), bringing cumulative driver
 # attestation to 333/364.
-# r08 window (this list): the remaining 31 never-attested keys — after
-# this round, EVERY key in the inventory has a driver CORRECTNESS row —
-# plus the first 19 staleness-rotation slots (the oldest-green keys: 39
-# keys' latest driver row is still r01, 7 rounds stale; first 19
-# alphabetical).
+# r08 window: the remaining 31 never-attested keys — with that round,
+# EVERY key in the inventory has a driver CORRECTNESS row — plus the
+# first 19 staleness-rotation slots (oldest r01 greens, alphabetical).
+# Came back 50/50 green (CORRECTNESS_r08.json): cumulative attestation
+# 364/364 complete.
 # Staleness policy: a green attestation AT LEAST 4 rounds older than the
 # window's target round is eligible for a rotation slot once all keys
 # have a first attestation (the boundary scripts/next_window.py encodes:
 # newest_green <= target - 4); first-time attestation always outranks
 # re-attestation.
 #
-# r09 window (swap in at r09 start): the staleness policy is now
-# EXECUTABLE — run `python scripts/next_window.py 9` once
-# CORRECTNESS_r08.json lands and paste its list here (the swap commit).
-# tests/test_registry_window.py::test_window_equals_policy_output pins
-# this list == policy output, so a hand-edit that diverges fails the
-# suite. Rehearsed in-round (r08, simulated all-green r08 evidence):
-# exactly 50 keys — the 20 remaining r01-stale keys (join_left_anti,
-# join_left_outer, join_left_semi, join_natural_using, join_right_outer,
-# join_theta_range, limit_offset, project_rename_compute,
-# scan_csv_roundtrip, scan_json_lines, set_except, set_except_all,
-# set_intersect, set_intersect_all, set_union_all, set_union_distinct,
-# set_union_mixed_schema, sink_parquet_roundtrip, topk_order_limit,
-# topk_rank_with_ties), then the 30 oldest r02 greens alphabetical
-# (dedup_embedding_cosine ... text_lang_id). Any red r08 row would
-# re-enter its key ahead of rotation — re-run the script, don't paste
-# the rehearsal blindly.
-_WINDOW_ROUND = 8  # CORRECTNESS_r0{N}.json this window is aimed at
+# r09 window (this list): pure staleness rotation — all 364 keys now
+# have a first attestation, so every slot goes to the oldest greens:
+# the 20 remaining r01-stale keys, then the 30 oldest r02 greens
+# alphabetical. Derived by `python scripts/next_window.py 9` against the
+# on-disk CORRECTNESS_r01..r08 evidence (matches the r08 rehearsal
+# exactly — r08 came back 50/50 green, so no red re-entries displaced
+# rotation). tests/test_registry_window.py::test_window_equals_policy_output
+# pins this list == policy output; a hand-edit that diverges fails the
+# suite. r10 expectation: next_window.py 10 → the remaining 20 r02
+# greens + the oldest r03 greens (re-run the script, don't paste this).
+_WINDOW_ROUND = 9  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    # --- 31 never-attested keys: completes 364/364 driver attestation ---
-    # sampling
-    "sample_negative_pairs",
-    # scan dialects / layouts
-    "scan_csv_dialect",
-    "scan_csv_multichar_delim",
-    "scan_recursive_glob",
-    "scan_text_wholefile",
-    "scan_xml_roundtrip",
-    # sinks
-    "sink_atomic_publish",
-    "sink_hive_partitioned",
-    "sink_parquet_bloom_filter",
-    # SQL surface
-    "sql_distribute_by",
-    "sql_execute_immediate",
-    "sql_group_by_all",
-    "sql_join_hints",
-    "sql_lateral_view",
-    "sql_named_window_clause",
-    "sql_ordinal_alias_resolution",
-    "sql_session_variable",
-    "sql_star_except_order_all",
-    "sql_tvf_date_spine",
-    "sql_udf_sql_function",
-    "sql_values_inline_table",
-    # subqueries
-    "subq_multicol_in",
-    # window functions
-    "win_concurrency_sweep",
-    "win_drawdown_max",
-    "win_moving_distinct_count",
-    "win_moving_median",
-    "win_pareto_cut",
-    "win_period_over_period",
-    "win_rank_shift_yoy",
-    "win_rolling_corr",
-    "win_time_weighted_avg",
-    # --- 19 staleness-rotation slots: oldest (r01) greens, alphabetical ---
-    "agg_bool_bitagg",
-    "agg_collect_sorted",
-    "agg_conditional",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_regr_native",
-    "agg_rollup",
-    "agg_stats_corr",
-    "agg_string_agg_ordered",
-    "filter_compound",
-    "filter_in_between_like",
-    "filter_rlike",
-    "join_asof_forward",
-    "join_broadcast_hint",
-    "join_cross",
-    "join_full_outer",
-    "join_interval",
+    # --- 20 r01-stale keys (latest green r01, 8 rounds old) ---
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_natural_using",
+    "join_right_outer",
+    "join_theta_range",
+    "limit_offset",
+    "project_rename_compute",
+    "scan_csv_roundtrip",
+    "scan_json_lines",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "set_union_mixed_schema",
+    "sink_parquet_roundtrip",
+    "topk_order_limit",
+    "topk_rank_with_ties",
+    # --- 30 oldest r02 greens, alphabetical ---
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_key_latest",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fn_array_core",
+    "fn_array_higher_order",
+    "fn_cast_coerce",
+    "fn_conditional",
+    "fn_date_core",
+    "fn_format_printf",
+    "fn_hash_digest",
+    "fn_interval_arithmetic",
+    "fn_json_extract",
+    "fn_map_ops",
+    "fn_math_core",
+    "fn_string_core",
+    "fn_string_distance",
+    "fn_string_regex",
+    "fn_string_split_part",
+    "fn_struct_json_nested",
+    "fn_try_arithmetic",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "sim_knn_query",
+    "sim_topk_pairs",
+    "stream_tumbling_1h",
+    "text_fingerprint",
+    "text_lang_id",
 ]
 
 
