@@ -13,10 +13,14 @@ refresh is O(new × collisions), not O((old+new)²).
 from __future__ import annotations
 
 import atexit
+import contextlib
+import errno
+import fcntl
 import glob
 import os
 import shutil
 import tempfile
+import time
 import warnings
 
 from engine.tmpdirs import scratch_dir
@@ -326,6 +330,68 @@ def _artifact_paths(gen_dir: str, name: str) -> list[str]:
     ]
 
 
+# Writers (build/append/compact) serialize on an advisory flock; a writer
+# that cannot acquire it within this many seconds fails loudly instead of
+# deadlocking a pipeline run. Readers never take it — see _writer_lock.
+_WRITER_LOCK_TIMEOUT_S = 600.0
+
+
+@contextlib.contextmanager
+def _writer_lock(base: str, timeout: float = _WRITER_LOCK_TIMEOUT_S):
+    """Mutual exclusion for index WRITERS (build / append / compact).
+
+    The generational protocol is atomic for any number of READERS (the
+    CURRENT pointer swap + one-generation vacuum grace), but it is
+    single-writer by construction: without exclusion, an append that
+    resolves the live generation while a compaction is folding it lands
+    its increment in the about-to-be-superseded generation, where the
+    NEXT pointer swap silently vacuums it — lost accepted documents, the
+    one failure mode of this layout that corrupts rather than crashes.
+    (Two concurrent appends are merely crash-loud: both derive the same
+    inc-NNNNNN name and the second rename dies with ENOTEMPTY.)
+
+    So every writer takes an exclusive ``flock`` on ``base/.write.lock``
+    for its whole publish sequence, and ``append_to_refresh_index``
+    re-resolves the live generation only AFTER acquiring it (an append
+    that waited out a compaction lands in the new generation). Readers
+    (refresh_against_index / refresh_decisions) stay lock-free.
+
+    Scope: ``flock`` is host-local advisory locking — exactly right for
+    this repo's single-driver pipelines, where all writers are processes
+    on the driver host. On a multi-driver deployment over an object
+    store (no flock), the same layout maps onto a table format's
+    optimistic-commit protocol (Delta/Iceberg style: writers prepare
+    increments/generations in private dirs — already the .tmp idiom
+    here — then win or retry the pointer CAS); the single-writer
+    contract documented here is what that protocol enforces at scale.
+    Acquisition polls LOCK_NB so a stuck peer surfaces as a loud
+    TimeoutError instead of an indefinite hang."""
+    os.makedirs(base, exist_ok=True)
+    fd = os.open(os.path.join(base, ".write.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError as e:
+                if e.errno not in (errno.EAGAIN, errno.EACCES):
+                    raise
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"refresh-index writer lock at {base} not acquired "
+                        f"within {timeout:.0f}s — another build/append/"
+                        "compact holds it (or died without the OS reaping "
+                        "it, which flock rules out for dead processes)"
+                    ) from None
+                time.sleep(0.05)
+        yield
+    finally:
+        # flock releases on close even after a crash-mid-publish; the
+        # torn .tmp dirs such a crash leaves are invisible to readers.
+        os.close(fd)
+
+
 def _publish_pointer(base: str, gen_name: str) -> None:
     tmp = os.path.join(base, ".CURRENT.tmp")
     with open(tmp, "w") as fh:
@@ -388,16 +454,20 @@ def build_refresh_index(spark: SparkSession, accepted: DataFrame, base: str) -> 
     compaction (compact_refresh_index) merges generation + increments
     into a new generation and swaps the pointer. Every publish step is a
     single rename/replace, so no reader ever observes a torn index —
-    the pointer idiom sink_atomic_publish demonstrates as an operator."""
+    the pointer idiom sink_atomic_publish demonstrates as an operator.
+
+    Writers serialize on ``_writer_lock`` (multi-process safety — see
+    its docstring for the race it closes and the cluster-scale analog)."""
     os.makedirs(base, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=base, prefix=".gen-tmp-")
-    _write_index_artifacts(spark, accepted, tmp)
-    gen_name = _next_seq(base, "gen-")
-    os.rename(tmp, os.path.join(base, gen_name))
-    old_gen = _current_gen(base)
-    _publish_pointer(base, gen_name)
-    keep = {gen_name} | ({os.path.basename(old_gen)} if old_gen else set())
-    _prune_generations(base, keep)
+    with _writer_lock(base):
+        tmp = tempfile.mkdtemp(dir=base, prefix=".gen-tmp-")
+        _write_index_artifacts(spark, accepted, tmp)
+        gen_name = _next_seq(base, "gen-")
+        os.rename(tmp, os.path.join(base, gen_name))
+        old_gen = _current_gen(base)
+        _publish_pointer(base, gen_name)
+        keep = {gen_name} | ({os.path.basename(old_gen)} if old_gen else set())
+        _prune_generations(base, keep)
 
 
 def append_to_refresh_index(
@@ -432,19 +502,27 @@ def append_to_refresh_index(
     append degrades loudly via a RuntimeWarning instead of silently.
     tests/test_pipeline6.py::test_refresh_index_append_loop drives two
     generations end-to-end; the auto-compaction policy curve is pinned by
-    test_auto_compaction_bounds_increment_count."""
-    gen = _current_gen(base)
-    if gen is None:
-        raise FileNotFoundError(
-            f"no published refresh index under {base}; run build_refresh_index"
-        )
-    tmp = tempfile.mkdtemp(dir=gen, prefix=".inc-tmp-")
-    _write_index_artifacts(spark, accepted, tmp, max_files=_INCREMENT_MAX_FILES)
-    os.rename(tmp, os.path.join(gen, _next_seq(gen, "inc-")))
-    n_inc = len(_increments(gen))
-    if auto_compact_after is not None and n_inc >= auto_compact_after:
-        compact_refresh_index(spark, base)
-    elif n_inc > _COMPACT_WARN_INCREMENTS:
+    test_auto_compaction_bounds_increment_count.
+
+    Writers serialize on ``_writer_lock``; the live generation is
+    resolved AFTER acquiring it, so an append that waited behind a
+    compaction publishes into the new generation instead of the
+    about-to-be-vacuumed one (tests/test_pipeline6.py::
+    test_append_waits_for_writer_lock pins both properties)."""
+    with _writer_lock(base):
+        gen = _current_gen(base)
+        if gen is None:
+            raise FileNotFoundError(
+                f"no published refresh index under {base}; run build_refresh_index"
+            )
+        tmp = tempfile.mkdtemp(dir=gen, prefix=".inc-tmp-")
+        _write_index_artifacts(spark, accepted, tmp, max_files=_INCREMENT_MAX_FILES)
+        os.rename(tmp, os.path.join(gen, _next_seq(gen, "inc-")))
+        n_inc = len(_increments(gen))
+        if auto_compact_after is not None and n_inc >= auto_compact_after:
+            _compact_impl(spark, base)
+            return
+    if n_inc > _COMPACT_WARN_INCREMENTS:
         # Reached only when this call did NOT fold: the caller opted out
         # (None) or chose a threshold laxer than the warn bound and the
         # fan-out has now passed the recommended degradation point.
@@ -473,7 +551,14 @@ def compact_refresh_index(spark: SparkSession, base: str) -> None:
     generation is RETAINED through one more swap (_prune_generations:
     in-flight lazy plans keep reading it) and pruned at the following
     one; a crash at any point leaves either the old or the new
-    generation fully live."""
+    generation fully live. Serializes with other writers on
+    ``_writer_lock`` (auto-compaction inside append already holds it and
+    calls ``_compact_impl`` directly)."""
+    with _writer_lock(base):
+        _compact_impl(spark, base)
+
+
+def _compact_impl(spark: SparkSession, base: str) -> None:
     gen = _current_gen(base)
     if gen is None:
         raise FileNotFoundError(f"no published refresh index under {base}")

@@ -672,3 +672,103 @@ def test_torn_cache_entry_is_evicted_but_kept_on_disk(spark, monkeypatch, tmp_pa
         # rebuilt dir would linger until process exit without removal here
         for d in p6._INDEX_CACHE.values():
             _shutil.rmtree(d, ignore_errors=True)
+
+
+_LOCK_HOLDER = """
+import fcntl, os, shutil, sys, time
+base, newgen, marker, hold = sys.argv[1], sys.argv[2], sys.argv[3], float(sys.argv[4])
+fd = os.open(os.path.join(base, ".write.lock"), os.O_CREAT | os.O_RDWR)
+fcntl.flock(fd, fcntl.LOCK_EX)
+open(marker, "w").write("locked")
+time.sleep(hold)
+if newgen != "-":
+    # simulate a racing compaction's pointer swap while the lock is held
+    cur = open(os.path.join(base, "CURRENT")).read().strip()
+    shutil.copytree(os.path.join(base, cur), os.path.join(base, newgen))
+    tmp = os.path.join(base, ".CURRENT.tmp")
+    open(tmp, "w").write(newgen)
+    os.replace(tmp, os.path.join(base, "CURRENT"))
+os.close(fd)
+"""
+
+
+def _hold_lock_in_subprocess(base, newgen, marker, hold):
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _LOCK_HOLDER, base, newgen, marker, str(hold)]
+    )
+    deadline = time.monotonic() + 15
+    while not os.path.exists(marker):
+        assert proc.poll() is None, "lock-holder subprocess died early"
+        assert time.monotonic() < deadline, "lock-holder never acquired"
+        time.sleep(0.02)
+    return proc
+
+
+def test_append_waits_for_writer_lock(spark, tmp_path):
+    """Two-PROCESS rehearsal of the writer-lock contract (VERDICT r08
+    item 5). A peer process holds the writer flock and — while holding
+    it — swaps the CURRENT pointer to a new generation, exactly what a
+    racing compaction does. An append invoked while the OLD generation
+    is still live must (a) block until the lock is released and (b)
+    publish its increment into the NEW generation: before the lock, the
+    unserialized interleaving landed the increment in the superseded
+    generation, where the next swap's vacuum silently deleted it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import engine.pipeline6 as p6
+    from engine.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    m5 = F.col("doc_id") % 5
+    base = str(tmp_path / "idx")
+    p6.build_refresh_index(spark, d.filter(m5 > 2), base)
+    old_gen = p6._current_gen(base)
+
+    marker = str(tmp_path / "holder.locked")
+    proc = _hold_lock_in_subprocess(base, "gen-000099", marker, hold=2.0)
+    try:
+        # invoked NOW, while CURRENT still names old_gen
+        assert p6._current_gen(base) == old_gen
+        t0 = time.monotonic()
+        p6.append_to_refresh_index(spark, d.filter(m5 == 2), base)
+        elapsed = time.monotonic() - t0
+    finally:
+        proc.wait(timeout=15)
+    assert proc.returncode == 0
+    # (a) the append waited out the holder instead of racing it
+    assert elapsed >= 1.5, f"append did not block on the writer lock ({elapsed:.2f}s)"
+    # (b) the increment landed in the post-swap generation, not the
+    # superseded one the next vacuum would delete
+    new_gen = os.path.join(base, "gen-000099")
+    assert p6._current_gen(base) == new_gen
+    assert len(p6._increments(new_gen)) == 1
+    assert p6._increments(old_gen) == []
+
+
+def test_writer_lock_times_out_loudly(tmp_path):
+    """A writer that cannot acquire the lock fails with TimeoutError
+    after its bound — never an indefinite hang (no Spark needed: this
+    pins the lock primitive itself against a real second process)."""
+    import pytest
+
+    import engine.pipeline6 as p6
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    marker = str(tmp_path / "holder.locked")
+    proc = _hold_lock_in_subprocess(base, "-", marker, hold=3.0)
+    try:
+        with pytest.raises(TimeoutError, match="writer lock"):
+            with p6._writer_lock(base, timeout=0.3):
+                pass
+    finally:
+        proc.wait(timeout=15)
+    # and after release the lock is acquirable again
+    with p6._writer_lock(base, timeout=5.0):
+        pass
