@@ -56,11 +56,17 @@ from engine.tables import load, sftag
 def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4): per-customer order-chain walk — starting
     from each customer's first order, follow successive orders while each
-    gap is ≤ 60 days; emit the chain length and its end date. The
-    continuation condition makes this true recursion (each step's
-    eligibility depends on the previous step's DATE, not just position), so
-    no window rewrite exists — before Spark 4 this was a driver-side loop
-    of joins (the dedup_cluster_components shape).
+    gap is ≤ 60 days; emit the chain length and its end date. Honesty note
+    (r09): because the continuation predicate is consecutive-pair-local
+    (each step compares against the immediately-preceding order's date), a
+    gaps-and-islands window rewrite DOES exist for this particular walk —
+    the key deliberately takes the recursive execution path because its
+    job in SURVEY §2 is to prove the engine executes WITH RECURSIVE
+    (general recursion, e.g. a non-unit-step successor or a predicate on
+    accumulated chain state, has no window form). A production pipeline
+    with THIS predicate should use the win_gaps_islands shape instead;
+    docs/SCALE.md's r09 recursion profile quantifies what that choice
+    buys (the recursion pays a fixed per-level cost × data-bounded depth).
 
     100 TB: each recursion step is one equi-join on (custkey, rn) —
     hash-partitioned, same key every step, so a cluster co-partitions the
