@@ -195,8 +195,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly — r08 came back 50/50 green, so no red re-entries displaced
 # rotation). tests/test_registry_window.py::test_window_equals_policy_output
 # pins this list == policy output; a hand-edit that diverges fails the
-# suite. r10 expectation: next_window.py 10 → the remaining 20 r02
-# greens + the oldest r03 greens (re-run the script, don't paste this).
+# suite. r10 expectation (rehearsed at r09 mid-round against simulated
+# all-green r09 evidence): next_window.py 10 → the remaining 16 r02
+# greens + the 34 oldest r03 greens, alphabetical within each staleness
+# tier, starting text_ngram_freq … ending tpch_q17_small_qty_revenue
+# (re-run the script at the boundary, don't paste this — a red r09 key
+# re-enters and displaces rotation slots).
 _WINDOW_ROUND = 9  # CORRECTNESS_r0{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
