@@ -71,7 +71,7 @@ def _load_note() -> dict:
     round-over-round delta is signal or load."""
     try:
         la1, la5, la15 = os.getloadavg()
-        return {
+        note = {
             "loadavg_1m": round(la1, 2),
             "loadavg_5m": round(la5, 2),
             "loadavg_15m": round(la15, 2),
@@ -79,6 +79,72 @@ def _load_note() -> dict:
         }
     except OSError:
         return {}
+    try:
+        # raw cumulative jiffies; hypervisor steal between two _load_note()
+        # stamps = steal_jiffies delta / total delta (r09: engine-asymmetric
+        # host slowdowns that loadavg alone cannot see).
+        f = open("/proc/stat").readline().split()
+        note["steal_jiffies"] = int(f[8])
+        note["total_jiffies"] = sum(int(x) for x in f[1:9])
+    except (OSError, IndexError, ValueError):
+        pass
+    return note
+
+
+def _host_calibration(spark) -> dict:
+    """Fixed cross-engine probes stamped into every bench line (r09).
+
+    Motivation: at r09 the same git_head measured 1.5-2× slower on every
+    Spark key than the r08 quiet sweep while DuckDB on the SAME day ran
+    1.7× FASTER than its recorded baseline — engine-asymmetric host/day
+    variance that loadavg and steal-time cannot see (both were clean).
+    These probes are workload-free constants: any round-over-round drift
+    in them is HOST, so a per-key delta is only believable beyond what
+    the calibration pair moved. kernel + boot_id identify the boot.
+    """
+    import platform
+
+    calib: dict = {"kernel": platform.release()}
+    try:
+        calib["boot_id"] = open("/proc/sys/kernel/random/boot_id").read().strip()
+    except OSError:
+        pass
+
+    def _t(f) -> float:
+        t0 = time.perf_counter()
+        f()
+        return time.perf_counter() - t0
+
+    def _min3(f) -> float:
+        f()  # warm
+        return round(min(_t(f) for _ in range(3)), 4)
+
+    try:
+        # pure whole-stage-codegen throughput, no shuffle, all cores
+        calib["spark_codegen_s"] = _min3(
+            lambda: spark.range(500_000_000).selectExpr("sum(id * 2)").collect()
+        )
+        # shuffle machinery: tiny groupBy through one exchange
+        calib["spark_shuffle_s"] = _min3(
+            lambda: spark.range(20_000_000)
+            .selectExpr("id % 997 AS k")
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+    except Exception:
+        pass
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        calib["duckdb_s"] = _min3(
+            lambda: con.sql("SELECT sum(i * 2) FROM range(500000000) t(i)").fetchall()
+        )
+        con.close()
+    except Exception:
+        pass
+    return calib
 
 
 def main() -> int:
@@ -116,6 +182,9 @@ def main() -> int:
     for _ in range(2):
         for df in plans.values():
             df.collect()
+    # After the warm passes so the JVM is hot: the probes are workload-free
+    # host-speed constants, not JIT-warmup measurements.
+    host_calib = _host_calibration(spark)
     times: dict[str, float] = {}
     times_best: dict[str, float] = {}
     for name, df in plans.items():
@@ -144,6 +213,7 @@ def main() -> int:
         "load_at_start": load_at_start,
         "quiet_host": quiet,
         "git_head": git_head,
+        "host_calib": host_calib,
         "sf": sf,
     }
 
@@ -185,6 +255,7 @@ def main() -> int:
             "load_at_start": load_at_start,
             "quiet_host": quiet,
             "git_head": git_head,
+            "host_calib": host_calib,
             "n_keys": len(sweep),
             "failed": sorted(k for k, v in sweep.items() if v < 0),
             "sweep": sweep,

@@ -92,14 +92,24 @@ def main() -> int:
     keys = only or KEYS_DEFAULT
     print(f"| key | t(sf0.1) s | t({replication}x) s | exponent |")
     print("|---|---|---|---|")
+    runs = int(os.environ.get("SPARK_GRAFT_REHEARSAL_RUNS", "3"))
     for k in keys:
         fn = getattr(queries[k], "__wrapped__", queries[k])
         # warm both paths once (footer reads, code paths), then time
+        # INTERLEAVED (1x, Nx, 1x, Nx, ...) and take min per side — the
+        # repo's own perf discipline: a single-run pair puts the whole
+        # co-tenant/GC swing into the exponent (r09: a single 1x reading
+        # came out 6x above the sweep's claim-of-record figure; min-of-3
+        # interleaved absorbs that).
         timed(fn, spark, SF_DIR)
-        t1 = timed(fn, spark, SF_DIR)
-        t5 = timed(fn, spark, OUT)
+        timed(fn, spark, OUT)
+        t1s, t5s = [], []
+        for _ in range(runs):
+            t1s.append(timed(fn, spark, SF_DIR))
+            t5s.append(timed(fn, spark, OUT))
+        t1, t5 = min(t1s), min(t5s)
         exp = math.log(t5 / t1) / math.log(replication)
-        print(f"| {k} | {t1:.2f} | {t5:.2f} | {exp:.2f} |")
+        print(f"| {k} | {t1:.2f} | {t5:.2f} | {exp:.2f} |", flush=True)
     return 0
 
 
