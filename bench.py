@@ -119,14 +119,21 @@ def _host_calibration(spark) -> dict:
         f()  # warm
         return round(min(_t(f) for _ in range(3)), 4)
 
+    # env-sized so tests can exercise the surface cheaply; the STAMPED
+    # values are only cross-comparable between sidecars at the same sizes
+    # (the defaults), so sized-down runs also stamp the sizes used.
+    n_codegen = int(os.environ.get("SPARK_GRAFT_CALIB_CODEGEN_N", 500_000_000))
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_CALIB_SHUFFLE_N", 20_000_000))
+    if (n_codegen, n_shuffle) != (500_000_000, 20_000_000):
+        calib["nonstandard_sizes"] = [n_codegen, n_shuffle]
     try:
         # pure whole-stage-codegen throughput, no shuffle, all cores
         calib["spark_codegen_s"] = _min3(
-            lambda: spark.range(500_000_000).selectExpr("sum(id * 2)").collect()
+            lambda: spark.range(n_codegen).selectExpr("sum(id * 2)").collect()
         )
         # shuffle machinery: tiny groupBy through one exchange
         calib["spark_shuffle_s"] = _min3(
-            lambda: spark.range(20_000_000)
+            lambda: spark.range(n_shuffle)
             .selectExpr("id % 997 AS k")
             .groupBy("k")
             .count()
@@ -139,7 +146,9 @@ def _host_calibration(spark) -> dict:
 
         con = duckdb.connect()
         calib["duckdb_s"] = _min3(
-            lambda: con.sql("SELECT sum(i * 2) FROM range(500000000) t(i)").fetchall()
+            lambda: con.sql(
+                f"SELECT sum(i * 2) FROM range({n_codegen}) t(i)"
+            ).fetchall()
         )
         con.close()
     except Exception:

@@ -1,0 +1,41 @@
+"""The bench sidecar's attribution surface (r09): host_calib probes and
+steal-counter stamps exist and carry the fields future-round comparisons
+rely on. These are the fields the claim-of-record rule reads
+(docs/SCALE.md r09) — a silent rename/drop would strand the rule."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_load_note_carries_steal_counters():
+    note = bench._load_note()
+    assert {"loadavg_1m", "loadavg_5m", "loadavg_15m", "cpus"} <= note.keys()
+    # Linux /proc/stat is present on every host this repo targets
+    assert note["steal_jiffies"] >= 0
+    assert note["total_jiffies"] > 0
+
+
+def test_host_calibration_surface(spark, monkeypatch):
+    # sized WAY down: the test pins the FIELD surface, not host speed
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_CODEGEN_N", "100000")
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_SHUFFLE_N", "10000")
+    calib = bench._host_calibration(spark)
+    assert {"kernel", "spark_codegen_s", "spark_shuffle_s", "duckdb_s"} <= calib.keys()
+    assert calib["spark_codegen_s"] > 0
+    assert calib["spark_shuffle_s"] > 0
+    assert calib["duckdb_s"] > 0
+    # sized-down runs must self-mark as non-comparable to standard stamps
+    assert calib["nonstandard_sizes"] == [100000, 10000]
+
+
+def test_git_head_stamp_is_a_short_sha():
+    head = bench._git_head()
+    assert head == "unknown" or (4 <= len(head) <= 16 and all(
+        c in "0123456789abcdef" for c in head
+    ))
