@@ -8,9 +8,9 @@ sim_knn_query — blocked BLAS matmul). This module adds:
   embedding near-dup primitive for training-data curation) — FULL oracle via
   DuckDB list_dot_product.
 - ``sim_ann_ivf``: inverted-file ANN — deterministic coarse centroids,
-  multi-probe assignment, per-cluster exact search. ROWS (random-projection /
-  centroid assignment is not SQL-expressible); recall vs brute force is
-  unit-tested (tests/test_simsearch.py).
+  multi-probe assignment, per-cluster exact search. FULL oracle since r04
+  (recall 1.0 on this corpus, pinned by tests); recall vs brute force is
+  unit-tested (tests/test_trainops.py).
 
 Scale notes (100 TB): the IVF shape is the one that survives — assignment is
 a map-side matmul against broadcast centroids, candidate generation becomes a
@@ -125,11 +125,32 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: assignment = map-side matmul vs broadcast centroids (no shuffle),
     candidates = one shuffle on cluster_id, per-cluster search bounded by
-    cluster size — replaces the O(n²) pair space with Σ_c |c|²."""
+    cluster size — replaces the O(n²) pair space with Σ_c |c|². With
+    nlist ∝ √n the two stages balance (assignment n·nlist vs search
+    Σ|c|² ≈ n²·nprobe²/nlist) at Θ(n^1.5) total — the optimal exponent
+    for SINGLE-LEVEL IVF all-pair mining; the engine's near-linear ANN
+    path is sim_ann_rp_lsh (bucket-capped, 25× exponent 0.33).
+
+    r09 exact-dup collapse (same design as sim_ann_rp_lsh's r07 fix,
+    engine/vecops.py): a clone corpus routes every duplicate into the
+    same probe clusters — no (nlist, nprobe) choice can separate
+    identical vectors — and the r09 25× rehearsal measured exponent 1.13
+    (1.5 s → 57 s) from dense blocks 25× taller. One cheap dup probe
+    (footer rows vs countDistinct(xxhash64(embedding)); a collision only
+    UNDER-counts, which routes to the collapse path whose grouping key
+    is the full array) decides: with dups, the whole
+    centroid/assign/search pipeline runs on min-id REPRESENTATIVES, then
+    winning rep pairs expand to member pairs (members truncated to the
+    k+1 smallest ids per group — decision-preserving for top-k under
+    (sim desc, a_id, b_id), same proof as vecops) and intra-group pairs
+    (sim = ‖v‖², identical vectors) bypass IVF entirely. Dup-free
+    corpora (every driver/test SF) take the original path bit-identically
+    at the cost of the one probe job."""
     import math
 
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
 
     k = 10
     nprobe = 3
@@ -149,10 +170,36 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.tables import parquet_num_rows
 
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    nlist = max(8, int(round(math.sqrt(_n / 32)))) if _n is not None else 8
     emb = load(spark, sf_dir, "embeddings")
+    # r09 dup probe (see docstring): int64 hashes shuffle, never arrays.
+    n_distinct = (
+        emb.select(F.xxhash64("embedding").alias("gh"))
+        .agg(F.countDistinct("gh"))
+        .first()[0]
+    )
+    has_dups = _n is None or n_distinct < _n
+    if has_dups:
+        grp = (
+            emb.groupBy("embedding")
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.slice(F.sort_array(F.collect_list("vec_id")), 1, k + 1).alias(
+                    "members"
+                ),
+                F.count("*").alias("grp_n"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        reps = grp.select("vec_id", "embedding")
+        # nlist sizes from the relation actually indexed (the reps); the
+        # count doubles as grp's materialization for the later consumers.
+        _n = grp.count()
+    else:
+        grp = None
+        reps = emb
+    nlist = max(8, int(round(math.sqrt(_n / 32)))) if _n is not None else 8
     cents = (
-        emb.orderBy("vec_id").limit(nlist).select("embedding").toPandas()
+        reps.orderBy("vec_id").limit(nlist).select("embedding").toPandas()
     )
     c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
@@ -173,7 +220,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assigned = emb.mapInPandas(assign, "cluster int, vec_id long, embedding array<float>")
+    assigned = reps.mapInPandas(assign, "cluster int, vec_id long, embedding array<float>")
     # Shuffle into exactly n_centroids partitions keyed by cluster: the
     # downstream applyInPandas otherwise inherits spark.sql.shuffle.partitions
     # (32 locally) and fans a mostly-empty Python-worker task per partition —
@@ -192,7 +239,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             thresh = np.partition(s, len(s) - k)[len(s) - k]
             keep = s >= thresh
             ai, bi, s = ai[keep], bi[keep], s[keep]
-        order = np.lexsort((v_ids[bi], v_ids[ai], -s))[:k]
+        order = np.lexsort((v_ids[bi], v_ids[ai], -s))
+        # keep boundary TIES past k (r09): a same-sim pair cut here could
+        # out-rank a kept pair on the global (sim desc, a_id, b_id) order
+        # — measure-zero for real dots, routine for dup-group expansion.
+        if len(order) > k:
+            cutoff = s[order[k - 1]]
+            order = order[s[order] >= cutoff]
         return pd.DataFrame(
             {"a_id": v_ids[ai][order], "b_id": v_ids[bi][order], "sim": s[order]}
         )
@@ -201,11 +254,53 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_topk, "a_id long, b_id long, sim double"
     )
     # a pair probed into two shared clusters appears twice — dedup, then
-    # top-k. per_cluster is ≤ nlist×k rows by construction, so collapse to
-    # one partition instead of a 32-partition dedup shuffle of ~80 rows.
+    # top-k. per_cluster is ≤ nlist×(k+ties) rows by construction, so
+    # collapse to one partition instead of a 32-partition dedup shuffle
+    # of ~80 rows.
+    rep_pairs = per_cluster.coalesce(1).dropDuplicates(["a_id", "b_id"])
+    if grp is None:  # dup-free: reps ≡ vectors, nothing to expand
+        return rep_pairs.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)
+    # r09 expansion (same shape + proof as vecops.sim_ann_rp_lsh): each
+    # winning rep pair carries its sim to every member combination of its
+    # two dup groups (identical vectors ⇒ identical dots); intra-group
+    # blocks are all-pairs of a group at sim = ‖v‖². Members are the k+1
+    # smallest ids per group — enough to decide the global top-k under
+    # (sim desc, a_id, b_id); every block is ≤ (k+1)² rows and rep_pairs
+    # is ≤ nlist×(k+ties), so the expansion is driver-trivial.
+    ga = grp.select(F.col("vec_id").alias("a_id"), F.col("members").alias("ma"))
+    gb = grp.select(F.col("vec_id").alias("b_id"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select("sim", F.explode("ma").alias("va"), "mb")
+        .select("sim", "va", F.explode("mb").alias("vb"))
+        .select(
+            F.least("va", "vb").alias("a_id"),
+            F.greatest("va", "vb").alias("b_id"),
+            "sim",
+        )
+    )
+    vd = F.col("embedding").cast("array<double>")
+    # bround (half-even) matches np.round in cluster_topk — one rounding
+    # mode for every sim this operator emits (vecops r07 note).
+    normsq = F.bround(
+        F.aggregate(
+            F.zip_with(vd, vd, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    intra = (
+        grp.filter(F.col("grp_n") >= 2)
+        .select(normsq.alias("sim"), F.col("members").alias("ms"))
+        .select("sim", F.explode("ms").alias("va"), "ms")
+        .select("sim", "va", F.explode("ms").alias("vb"))
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("a_id"), F.col("vb").alias("b_id"), "sim")
+    )
     return (
-        per_cluster.coalesce(1)
-        .dropDuplicates(["a_id", "b_id"])
+        cross.unionByName(intra)
         .orderBy(F.col("sim").desc(), "a_id", "b_id")
         .limit(k)
     )

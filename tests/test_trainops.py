@@ -145,3 +145,45 @@ def test_approx_median_error_bound(spark, duck):
     for flag, m, p90 in exact:
         assert abs(sketch[flag]["am"] - m) / m < 0.01, (flag, m, sketch[flag])
         assert abs(sketch[flag]["ap"] - p90) / p90 < 0.01, (flag, p90, sketch[flag])
+
+
+def test_ann_ivf_exact_dup_collapse(spark, tmp_path):
+    """r09 clone-floor fix (mirrors vecops' r07 rp_lsh fix): on a corpus
+    WITH exact-duplicate embeddings the dup probe must route through the
+    collapse prestage (reps-only IVF + block expansion), and the result
+    must be the exact top-10 pair list under (sim desc, a_id, b_id) —
+    including the intra-group ‖v‖² pairs that bypass IVF entirely.
+    Brute-force reference computed in numpy over the full clone corpus
+    (recall on this corpus is 1.0, so exact equality is the right bar)."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine.registry import QUERIES
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = [base] + [
+        base.withColumn("vec_id", F.col("vec_id") + i * 1_000_000) for i in (1, 2)
+    ]
+    dup = parts[0]
+    for p in parts[1:]:
+        dup = dup.unionByName(p)
+    dup.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    res = QUERIES["sim_ann_ivf"].__wrapped__(spark, str(tmp_path)).collect()
+    got = [(r["a_id"], r["b_id"], r["sim"]) for r in res]
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in dup.collect()
+    )
+    ids = [i for i, _ in rows]
+    m = np.stack([v for _, v in rows])
+    sims = np.round(m @ m.T, 4)
+    allp = sorted(
+        (-sims[i, j], ids[i], ids[j])
+        for i, j in itertools.combinations(range(len(ids)), 2)
+    )[:10]
+    want = [(a, b, -s) for s, a, b in allp]
+    assert got == want, f"collapse path diverged from brute force:\n{got}\nvs\n{want}"
