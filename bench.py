@@ -153,6 +153,42 @@ def _host_calibration(spark) -> dict:
         con.close()
     except Exception:
         pass
+    try:
+        # disk probes (r09): the sweep-delta fingerprint showed CPU-bound
+        # key families flat while file-touching families (scans that
+        # write+read scratch, streaming checkpoints, parquet
+        # materialization) carried a 2x+ day delta — so host attribution
+        # needs a disk constant next to the CPU ones. Sequential MB/s
+        # (one 64 MiB fsync'd stream) + small-fsync latency (Spark's
+        # commit protocol is rename+fsync-bound).
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="sg-calib-") as td:
+            buf = b"\0" * (1 << 20)
+
+            def _seq():
+                with open(os.path.join(td, "seq"), "wb") as f:
+                    for _ in range(64):
+                        f.write(buf)
+                    f.flush()
+                    os.fsync(f.fileno())
+
+            t0 = time.perf_counter()
+            _seq()
+            calib["disk_seq_write_mb_s"] = round(64 / (time.perf_counter() - t0), 1)
+
+            def _one_fsync(i: int):
+                with open(os.path.join(td, f"s{i}"), "wb") as f:
+                    f.write(b"x" * 1000)
+                    f.flush()
+                    os.fsync(f.fileno())
+
+            t0 = time.perf_counter()
+            for i in range(20):
+                _one_fsync(i)
+            calib["disk_fsync_ms"] = round((time.perf_counter() - t0) / 20 * 1000, 3)
+    except OSError:
+        pass
     return calib
 
 
