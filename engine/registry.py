@@ -187,75 +187,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # newest_green <= target - 4); first-time attestation always outranks
 # re-attestation.
 #
-# r09 window (this list): pure staleness rotation — all 364 keys now
-# have a first attestation, so every slot goes to the oldest greens:
-# the 20 remaining r01-stale keys, then the 30 oldest r02 greens
-# alphabetical. Derived by `python scripts/next_window.py 9` against the
-# on-disk CORRECTNESS_r01..r08 evidence (matches the r08 rehearsal
-# exactly — r08 came back 50/50 green, so no red re-entries displaced
-# rotation). tests/test_registry_window.py::test_window_equals_policy_output
+# r11 window (this list): pure staleness rotation — all 364 keys have a
+# first attestation, so every slot goes to the oldest greens: the 16
+# remaining r02-stale keys, then the 34 oldest r03 greens, alphabetical
+# within each staleness tier. Derived by `python scripts/next_window.py
+# 11` against the on-disk CORRECTNESS_r01..r10 evidence. (The r10 round
+# missed its rotation — the driver re-checked the r09 window — so this
+# list is exactly what the r09 rehearsal predicted for r10, now one
+# round later; r10's 50/50 green on the repeat window displaced
+# nothing.) tests/test_registry_window.py::test_window_equals_policy_output
 # pins this list == policy output; a hand-edit that diverges fails the
-# suite. r10 expectation (rehearsed at r09 mid-round against simulated
-# all-green r09 evidence): next_window.py 10 → the remaining 16 r02
-# greens + the 34 oldest r03 greens, alphabetical within each staleness
-# tier, starting text_ngram_freq … ending tpch_q17_small_qty_revenue
-# (re-run the script at the boundary, don't paste this — a red r09 key
-# re-enters and displaces rotation slots).
-_WINDOW_ROUND = 9  # CORRECTNESS_r0{N}.json this window is aimed at
+# suite. r12 expectation: next_window.py 12 → the remaining r03 greens
+# plus the oldest r04 greens (re-run the script at the boundary, don't
+# paste — a red r11 key re-enters and displaces rotation slots).
+_WINDOW_ROUND = 11  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    # --- 20 r01-stale keys (latest green r01, 8 rounds old) ---
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_natural_using",
-    "join_right_outer",
-    "join_theta_range",
-    "limit_offset",
-    "project_rename_compute",
-    "scan_csv_roundtrip",
-    "scan_json_lines",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "set_union_mixed_schema",
-    "sink_parquet_roundtrip",
-    "topk_order_limit",
-    "topk_rank_with_ties",
-    # --- 30 oldest r02 greens, alphabetical ---
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_key_latest",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "fn_array_core",
-    "fn_array_higher_order",
-    "fn_cast_coerce",
-    "fn_conditional",
-    "fn_date_core",
-    "fn_format_printf",
-    "fn_hash_digest",
-    "fn_interval_arithmetic",
-    "fn_json_extract",
-    "fn_map_ops",
-    "fn_math_core",
-    "fn_string_core",
-    "fn_string_distance",
-    "fn_string_regex",
-    "fn_string_split_part",
-    "fn_struct_json_nested",
-    "fn_try_arithmetic",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "multimodal_join",
-    "sim_knn_query",
-    "sim_topk_pairs",
-    "stream_tumbling_1h",
-    "text_fingerprint",
-    "text_lang_id",
+    # --- 16 remaining r02-stale keys (latest green r02, 9 rounds old) ---
+    "text_ngram_freq",
+    "text_quality_score",
+    "text_sentiment_lexicon",
+    "text_tfidf",
+    "text_token_counts",
+    "text_token_stats",
+    "win_distribution",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_nav_ignore_nulls",
+    "win_ntile_first_last",
+    "win_range_frame",
+    "win_rank_dense",
+    "win_row_number_topk",
+    "win_running_distinct",
+    "win_running_sum",
+    # --- 34 oldest r03 greens, alphabetical ---
+    "agg_mode_tiebreak",
+    "agg_topk_collect",
+    "dedup_cluster_components",
+    "dedup_fuzzy_edit",
+    "dedup_minhash_signature",
+    "etl_clean_coerce",
+    "etl_merge_cdc",
+    "etl_scd2_intervals",
+    "etl_sessionize_path",
+    "etl_upsert_keyed",
+    "etl_validate_quarantine",
+    "fn_bitwise",
+    "join_bucketed_colocate",
+    "join_salted_skew",
+    "pivot_wide",
+    "sample_hash_repro",
+    "scan_csv_malformed",
+    "scan_merge_schema",
+    "scan_orc_roundtrip",
+    "sink_sorted_clustered",
+    "stream_rollup_cascade",
+    "subq_exists_correlated",
+    "subq_not_in_null_semantics",
+    "subq_scalar",
+    "text_chunk_overlap",
+    "text_normalize_stopwords",
+    "text_tfidf_cosine_docs",
+    "topk_argmax_group",
+    "tpch_q10_returned",
+    "tpch_q13_cust_dist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
 ]
 
 
