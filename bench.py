@@ -192,6 +192,26 @@ def _host_calibration(spark) -> dict:
     return calib
 
 
+def _sweep_sidecar_path(sweep_out: dict, repo_dir: str) -> str:
+    """Claim-of-record guard (VERDICT r10 item 4, fired in two straight
+    round closes): BENCH_SWEEP.json holds the per-key benchmark claim of
+    record, and only a quiet-host run may replace a quiet-host record.
+    A loaded-host sweep is still worth keeping — it lands in
+    BENCH_SWEEP_NONQUIET.json instead, where it can't be committed as
+    the claim by a blanket `git add -A`."""
+    primary = os.path.join(repo_dir, "BENCH_SWEEP.json")
+    if sweep_out.get("quiet_host"):
+        return primary
+    try:
+        with open(primary) as fh:
+            existing = json.load(fh)
+    except (OSError, ValueError):
+        return primary
+    if existing.get("quiet_host"):
+        return os.path.join(repo_dir, "BENCH_SWEEP_NONQUIET.json")
+    return primary
+
+
 def main() -> int:
     # Captured BEFORE any Spark work: the 1-min loadavg here reflects
     # CO-TENANT load only (our own JVM inflates every later reading), which
@@ -308,10 +328,10 @@ def main() -> int:
         # Own line + sidecar file; the headline line below stays last & small.
         print(json.dumps(sweep_out))
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_SWEEP.json"), "w"
-            ) as fh:
+            path = _sweep_sidecar_path(
+                sweep_out, os.path.dirname(os.path.abspath(__file__))
+            )
+            with open(path, "w") as fh:
                 json.dump(sweep_out, fh, indent=1)
         except OSError:
             pass

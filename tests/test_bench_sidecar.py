@@ -39,3 +39,30 @@ def test_git_head_stamp_is_a_short_sha():
     assert head == "unknown" or (4 <= len(head) <= 16 and all(
         c in "0123456789abcdef" for c in head
     ))
+
+
+def test_sweep_sidecar_guard_protects_quiet_claim(tmp_path):
+    """VERDICT r10 item 4: a loaded-host sweep must not clobber a
+    quiet-host BENCH_SWEEP.json — it goes to the _NONQUIET side file.
+    Every other combination writes the primary sidecar."""
+    import json
+
+    primary = tmp_path / "BENCH_SWEEP.json"
+    side = tmp_path / "BENCH_SWEEP_NONQUIET.json"
+
+    # no existing record: either kind of run claims the primary path
+    assert bench._sweep_sidecar_path({"quiet_host": True}, str(tmp_path)) == str(primary)
+    assert bench._sweep_sidecar_path({"quiet_host": False}, str(tmp_path)) == str(primary)
+
+    # quiet record on disk: quiet overwrites, loaded is diverted
+    primary.write_text(json.dumps({"quiet_host": True, "value": 1.0}))
+    assert bench._sweep_sidecar_path({"quiet_host": True}, str(tmp_path)) == str(primary)
+    assert bench._sweep_sidecar_path({"quiet_host": False}, str(tmp_path)) == str(side)
+
+    # non-quiet record on disk: a non-quiet rerun may replace it
+    primary.write_text(json.dumps({"quiet_host": False, "value": 2.0}))
+    assert bench._sweep_sidecar_path({"quiet_host": False}, str(tmp_path)) == str(primary)
+
+    # corrupt record never blocks the write
+    primary.write_text("{not json")
+    assert bench._sweep_sidecar_path({"quiet_host": False}, str(tmp_path)) == str(primary)
