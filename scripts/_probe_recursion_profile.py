@@ -152,12 +152,10 @@ def main() -> int:
 
     print("== depth-only fixed cost (1 row/level) ==", flush=True)
     depth_only(spark, 8)  # warm code paths
-    prev = None
     for d in (16, 64, 256):
         t = min(depth_only(spark, d) for _ in range(2))
         per = t / d * 1000
         print(f"depth {d:4d}: {t:6.2f} s  ({per:.0f} ms/level)", flush=True)
-        prev = t
 
     print("== base residency ==", flush=True)
     residency(spark)

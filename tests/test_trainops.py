@@ -160,7 +160,7 @@ def test_ann_ivf_exact_dup_collapse(spark, tmp_path):
     import numpy as np
     from pyspark.sql import functions as F
 
-    from engine.registry import QUERIES
+    from engine.registry import collect
 
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     parts = [base] + [
@@ -171,7 +171,8 @@ def test_ann_ivf_exact_dup_collapse(spark, tmp_path):
         dup = dup.unionByName(p)
     dup.write.parquet(str(tmp_path / "embeddings.parquet"))
 
-    res = QUERIES["sim_ann_ivf"].__wrapped__(spark, str(tmp_path)).collect()
+    queries, _ = collect()
+    res = queries["sim_ann_ivf"].__wrapped__(spark, str(tmp_path)).collect()
     got = [(r["a_id"], r["b_id"], r["sim"]) for r in res]
 
     rows = sorted(
