@@ -341,11 +341,47 @@ def minhash_near_pairs(d: DataFrame, detail: bool = False) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_MAX_BROADCAST_VECTORS = 1_000_000  # float64 broadcast budget (~0.5 GB at dim 64)
+_MAX_BROADCAST_VECTORS = 1_000_000  # float32 broadcast budget (~0.25 GB at dim 64)
+
+# Worker-process cache of deserialized broadcast sides, keyed by the
+# (path, mtime_ns, nrows) identity _broadcast_side stamps. PySpark's
+# worker re-registers each broadcast per TASK (a fresh Broadcast(path=…)
+# whose pickle is re-loaded on .value), so with python-worker reuse every
+# task of every collect() re-paid the full matrix deserialization — the
+# width-4 spread paid it 4× per run (VERDICT r10 item 3). A module-level
+# dict lives in the reused worker process, so only the first task per
+# worker per corpus loads the pickle; everything after is a dict hit.
+# Bounded: tiny test corpora churn keys, so cap the entries.
+_SIDE_CACHE: dict[tuple, tuple] = {}
+_SIDE_CACHE_MAX = 4
+
+
+def _side_value(bc, key):
+    """Worker-side accessor: cached (ids, f32 matrix), loading bc.value
+    only on the first task a worker process sees for this corpus."""
+    if key is not None:
+        hit = _SIDE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    val = bc.value
+    if key is not None:
+        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+        _SIDE_CACHE[key] = val
+    return val
 
 
 def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
-    """(ids, float64 matrix) for the broadcast side of blocked-matmul kernels.
+    """(ids, float32 matrix, cache_key) for the broadcast side of
+    blocked-matmul kernels.
+
+    float32, not float64 (r11): the parquet column is array<float>, so
+    f32 is the SOURCE precision — broadcasting it halves the pickle the
+    workers deserialize, and the refine stages upcast candidate rows
+    losslessly (f32→f64 is exact). cache_key identifies the corpus bytes
+    (path, mtime_ns, nrows) for the per-worker _SIDE_CACHE; None when the
+    source isn't a stat-able path (toPandas fallback) — then every task
+    loads bc.value as before.
 
     Direct pyarrow read of the shared-path parquet — the same bytes the
     executors scan — skips paying a Spark collect job; falls back to
@@ -355,12 +391,15 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
     OOMing the driver."""
     import numpy as np
 
+    path = f"{sf_dir}/embeddings.parquet"
     try:
+        import os
+
         import pyarrow.parquet as pq
 
         from engine.tables import parquet_num_rows
 
-        n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")  # footer-only
+        n = parquet_num_rows(path)  # footer-only
         if n is None:
             raise ValueError("not footer-readable")  # -> toPandas fallback
         if n > _MAX_BROADCAST_VECTORS:
@@ -369,12 +408,13 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
                 f"{_MAX_BROADCAST_VECTORS}; use the bucketed IVF/LSH path "
                 "(engine.simsearch.sim_ann_ivf) for candidate generation"
             )
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
         b_ids = t.column("vec_id").to_numpy()
         flat = t.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
-        b_mat = flat.astype(np.float64).reshape(len(b_ids), -1)
+        b_mat = flat.astype(np.float32).reshape(len(b_ids), -1)
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns, int(n))
     except RuntimeError:
         raise
     except Exception:
@@ -387,8 +427,9 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
             )
         side = emb.select("vec_id", "embedding").toPandas()
         b_ids = side["vec_id"].to_numpy()
-        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
-    return b_ids, b_mat
+        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float32)
+        key = None
+    return b_ids, b_mat, key
 
 
 def _dot(a, b):  # JVM-side higher-order dot product, float→double first
@@ -416,7 +457,9 @@ def _dot(a, b):  # JVM-side higher-order dot product, float→double first
 def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most-similar embedding pairs by cosine (≡ dot, vectors are
     L2-normalized). Blocked matrix multiply: one side is broadcast as a
-    float64 matrix, each Arrow batch of the other side does a single BLAS
+    float32 matrix (source precision; r11 — halves the worker-side
+    deserialization, and a per-worker cache skips it after the first
+    task), each Arrow batch of the other side does a single BLAS
     matmul + per-block top-k (ties at the k-th rounded sim all kept), then a
     global top-k merges ≤ k rows per block. ~60× faster than evaluating the
     dot as a per-pair higher-order function.
@@ -441,53 +484,73 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 10
     emb = load(spark, sf_dir, "embeddings")
-    # Broadcast side: the full id+matrix pair (float64 once, not per-pair),
-    # size-gated + pyarrow-direct via the shared helper.
-    bc = spark.sparkContext.broadcast(_broadcast_side(spark, sf_dir, emb))
+    # Broadcast side: the full id+matrix pair (float32 — source precision —
+    # once, not per-pair), size-gated + pyarrow-direct via the shared helper;
+    # side_key lets reused workers skip re-deserializing it per task.
+    b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    # Probe side = block index, not a second scan (r11): both sides of the
+    # pair space are the SAME ≤1M-row table (the broadcast gate bounds it),
+    # so re-scanning + repartition-shuffling the probe rows bought nothing —
+    # every task already holds the full matrix. Partitioning spark.range(
+    # width) instead drops the parquet scan and the spread_cpu exchange from
+    # the job (2 stages → 1 + TakeOrdered), and each task slices its probe
+    # block out of the cached side. (Old shape for reference: spread_cpu
+    # width 4 over emb, r03 sweep 2→217 ms, 4→206 ms, 8→232 ms, 16→317 ms.)
+    width = 4
 
     def block_topk(batches):
-        ids_all, m_all = bc.value
-        m32 = m_all.astype(np.float32)
+        try:  # per-worker-process cache (engine importable on all our runners)
+            from engine.llmops import _side_value
+
+            ids_all, m32 = _side_value(bc, side_key)
+        except ImportError:
+            ids_all, m32 = bc.value
+        n = len(ids_all)
         for rb in batches:
-            a_ids = rb.column("vec_id").to_numpy(zero_copy_only=False)
-            if len(a_ids) == 0:
-                continue
-            flat = rb.column("embedding").flatten().to_numpy(zero_copy_only=False)
-            a32 = flat.astype(np.float32).reshape(len(a_ids), -1)
-            sims = a32 @ m32.T
-            sims[a_ids[:, None] >= ids_all[None, :]] = -2.0  # keep a_id < b_id
-            fs = sims.ravel()
-            if fs.size > k:
-                vk = np.partition(fs, fs.size - k)[fs.size - k]
-                cand = np.flatnonzero(fs >= max(vk - 2e-4, -1.0))
-            else:
-                cand = np.flatnonzero(fs > -2.0)
-            if len(cand) == 0:
-                continue
-            ai, bi = np.unravel_index(cand, sims.shape)
-            a64 = flat.astype(np.float64).reshape(len(a_ids), -1)
-            vals = np.round(np.einsum("ij,ij->i", a64[ai], m_all[bi]), 4)
-            if len(vals) > k:  # keep every pair tied with the k-th rounded sim
-                rk = np.sort(vals)[len(vals) - k]
-                keep = vals >= rk
-                ai, bi, vals = ai[keep], bi[keep], vals[keep]
-            order = np.lexsort((ids_all[bi], a_ids[ai], -vals))[:k]
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "a_id": pa.array(a_ids[ai][order], pa.int64()),
-                    "b_id": pa.array(ids_all[bi][order], pa.int64()),
-                    "sim": pa.array(vals[order], pa.float64()),
-                }
-            )
+            for blk in rb.column("id").to_pylist():
+                lo = n * blk // width
+                hi = n * (blk + 1) // width
+                if lo >= hi:
+                    continue
+                a_ids = ids_all[lo:hi]
+                a32 = m32[lo:hi]
+                sims = a32 @ m32.T
+                sims[a_ids[:, None] >= ids_all[None, :]] = -2.0  # a_id < b_id
+                fs = sims.ravel()
+                if fs.size > k:
+                    vk = np.partition(fs, fs.size - k)[fs.size - k]
+                    cand = np.flatnonzero(fs >= max(vk - 2e-4, -1.0))
+                else:
+                    cand = np.flatnonzero(fs > -2.0)
+                if len(cand) == 0:
+                    continue
+                ai, bi = np.unravel_index(cand, sims.shape)
+                # f32→f64 upcast is exact (parquet column is array<float>),
+                # so refine dots are bit-identical to a broadcast f64 matrix.
+                vals = np.round(
+                    np.einsum(
+                        "ij,ij->i",
+                        a32[ai].astype(np.float64),
+                        m32[bi].astype(np.float64),
+                    ),
+                    4,
+                )
+                if len(vals) > k:  # keep every pair tied with the k-th sim
+                    rk = np.sort(vals)[len(vals) - k]
+                    keep = vals >= rk
+                    ai, bi, vals = ai[keep], bi[keep], vals[keep]
+                order = np.lexsort((ids_all[bi], a_ids[ai], -vals))[:k]
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "a_id": pa.array(a_ids[ai][order], pa.int64()),
+                        "b_id": pa.array(ids_all[bi][order], pa.int64()),
+                        "sim": pa.array(vals[order], pa.float64()),
+                    }
+                )
 
-    from engine.textops import spread_cpu
-
-    # The corpus is one parquet file = one input split: without a spread the
-    # ENTIRE n x n matmul lands in a single Python worker. Width 4, not the
-    # core count — each partition pays per-worker broadcast deserialization
-    # (see spread_cpu's docstring) — and the merge stays <= k rows per block.
-    # (r03 width sweep at sf0.1: 2→217 ms, 4→206 ms, 8→232 ms, 16→317 ms.)
-    out = spread_cpu(emb.select("vec_id", "embedding"), width=4).mapInArrow(
+    out = spark.range(0, width, 1, width).mapInArrow(
         block_topk, "a_id long, b_id long, sim double"
     )
     return out.orderBy(F.col("sim").desc(), "a_id", "b_id").limit(k)

@@ -66,38 +66,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.llmops import _broadcast_side
 
     emb = load(spark, sf_dir, "embeddings")
-    bc = spark.sparkContext.broadcast(_broadcast_side(spark, sf_dir, emb))
+    b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
     thresh = _COS_THRESH
 
+    # Probe side = block index over the SAME gated ≤1M-row table (see
+    # sim_topk_pairs r11 note): partitioning spark.range(width) drops the
+    # second parquet scan and the spread_cpu exchange; each task slices its
+    # probe block from the per-worker-cached f32 side.
+    width = 8
+
     def block_pairs(batches):
-        ids_all, m_all = bc.value
-        m32 = m_all.astype(np.float32)
+        try:  # per-worker cache of the f32 side (see llmops._side_value)
+            from engine.llmops import _side_value
+
+            ids_all, m32 = _side_value(bc, side_key)
+        except ImportError:
+            ids_all, m32 = bc.value
+        n = len(ids_all)
         for rb in batches:
-            a_ids = rb.column("vec_id").to_numpy(zero_copy_only=False)
-            if len(a_ids) == 0:
-                continue
-            flat = rb.column("embedding").flatten().to_numpy(zero_copy_only=False)
-            a32 = flat.astype(np.float32).reshape(len(a_ids), -1)
-            sims = a32 @ m32.T
-            sims[a_ids[:, None] >= ids_all[None, :]] = -2.0  # keep a_id < b_id
-            ai, bi = np.nonzero(sims >= thresh - 2e-4)
-            a64 = flat.astype(np.float64).reshape(len(a_ids), -1)
-            exact = np.einsum("ij,ij->i", a64[ai], m_all[bi])
-            keep = exact >= thresh
-            ai, bi, exact = ai[keep], bi[keep], exact[keep]
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "a_id": pa.array(a_ids[ai], pa.int64()),
-                    "b_id": pa.array(ids_all[bi], pa.int64()),
-                    "sim": pa.array(np.round(exact, 4), pa.float64()),
-                }
-            )
+            for blk in rb.column("id").to_pylist():
+                lo = n * blk // width
+                hi = n * (blk + 1) // width
+                if lo >= hi:
+                    continue
+                a_ids = ids_all[lo:hi]
+                a32 = m32[lo:hi]
+                sims = a32 @ m32.T
+                sims[a_ids[:, None] >= ids_all[None, :]] = -2.0  # a_id < b_id
+                ai, bi = np.nonzero(sims >= thresh - 2e-4)
+                # f32→f64 upcast is exact (source column is array<float>)
+                exact = np.einsum(
+                    "ij,ij->i",
+                    a32[ai].astype(np.float64),
+                    m32[bi].astype(np.float64),
+                )
+                keep = exact >= thresh
+                ai, bi, exact = ai[keep], bi[keep], exact[keep]
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "a_id": pa.array(a_ids[ai], pa.int64()),
+                        "b_id": pa.array(ids_all[bi], pa.int64()),
+                        "sim": pa.array(np.round(exact, 4), pa.float64()),
+                    }
+                )
 
-    from engine.textops import spread_cpu
-
-    # spread the probe side past the 1-split scan (see sim_topk_pairs;
-    # width 8 — Python-kernel stage, per-partition broadcast cost).
-    return spread_cpu(emb.select("vec_id", "embedding"), width=8).mapInArrow(
+    return spark.range(0, width, 1, width).mapInArrow(
         block_pairs, "a_id long, b_id long, sim double"
     )
 

@@ -336,13 +336,18 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if n_vec is not None and n_vec <= llmops._MAX_BROADCAST_VECTORS:
         # Small-corpus fast path: one gather+einsum per Arrow batch against
-        # the broadcast float64 matrix (reusing sim_topk_pairs' side).
-        bc_side = spark.sparkContext.broadcast(
-            llmops._broadcast_side(spark, sf_dir, emb)
-        )
+        # the broadcast float32 matrix (reusing sim_topk_pairs' side; f32 is
+        # the parquet source precision, upcast to f64 at the gather).
+        side_ids, side_mat, side_key = llmops._broadcast_side(spark, sf_dir, emb)
+        bc_side = spark.sparkContext.broadcast((side_ids, side_mat))
 
         def pair_sims(batches):
-            ids, m = bc_side.value
+            try:  # per-worker cache of the f32 side (see llmops._side_value)
+                from engine.llmops import _side_value
+
+                ids, m = _side_value(bc_side, side_key)
+            except ImportError:
+                ids, m = bc_side.value
             order = np.argsort(ids)
             sids = ids[order]
             for rb in batches:
@@ -362,7 +367,15 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ia = order[pa_idx]
                 ib = order[pb_idx]
-                s = np.round(np.einsum("ij,ij->i", m[ia], m[ib]), 4)
+                # f32→f64 upcast is exact (source column is array<float>)
+                s = np.round(
+                    np.einsum(
+                        "ij,ij->i",
+                        m[ia].astype(np.float64),
+                        m[ib].astype(np.float64),
+                    ),
+                    4,
+                )
                 if len(s) > k:  # per-batch prune: ≤k rows reach the sort
                     thresh = np.partition(s, len(s) - k)[len(s) - k]
                     keep = s >= thresh
