@@ -53,7 +53,14 @@ _SKIP_PREFIXES = (
 )
 
 # Keys whose contract IS Python execution — BatchEvalPython/ArrowEvalPython/
-# PythonMapInArrow etc. are expected there.
+# PythonMapInArrow etc. are expected there. This list is EXACT in both
+# directions: test_python_eval_only_in_declared_surface forbids Python eval
+# outside it, and test_python_surface_waivers_are_exact asserts every entry
+# actually plans a Python eval node (a stale waiver would let a future
+# regression hide behind it). Pruned r11: multimodal_frame_sample,
+# multimodal_binary_meta, multimodal_join, text_lang_id, emb_scalar_quantize,
+# dedup_near_minhash, fn_variant_shred — all pure-JVM since their lit_table /
+# built-in-function rewrites.
 _PYTHON_SURFACE = {
     "udf_python_scalar",
     "udf_python_arrow_scalar",
@@ -64,16 +71,21 @@ _PYTHON_SURFACE = {
     "udtf_arrow_expand",
     "udtf_table_argument",
     "udf_mapinpandas_stream",
-    "multimodal_frame_sample",
-    "multimodal_binary_meta",
-    "multimodal_join",
-    "text_lang_id",
     "sim_ann_rp_lsh",
     "sim_ann_ivf",
-    "emb_scalar_quantize",
-    "dedup_near_minhash",
-    "fn_variant_shred",
 }
+
+# Every physical-plan marker Spark uses for a Python execution boundary.
+_PYTHON_EVAL_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "PythonMapInArrow",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "MapGroupsInPandas",
+    "PythonUDTF",
+)
 
 # Bounded-by-design cross/BNLJ keys.
 _CARTESIAN_OK = {
@@ -153,6 +165,21 @@ def test_python_eval_only_in_declared_surface(plans):
         if "BatchEvalPython" in plan:
             bad.append(key)
     assert not bad, f"row-at-a-time Python eval leaked into: {bad}"
+
+
+def test_python_surface_waivers_are_exact(plans):
+    """Reverse direction of the waiver list: every _PYTHON_SURFACE entry must
+    actually plan at least one Python eval node. A waived key that went
+    pure-JVM (good!) must be pruned from the list, or a later regression that
+    re-introduces Python eval there would be invisible to the leak test."""
+    stale = []
+    for key in sorted(_PYTHON_SURFACE):
+        plan = plans.get(key)
+        if plan is None:  # skipped family — exercised by its own named test
+            continue
+        if not any(m in plan for m in _PYTHON_EVAL_MARKERS):
+            stale.append(key)
+    assert not stale, f"stale _PYTHON_SURFACE waivers (pure-JVM plans): {stale}"
 
 
 def test_every_nonskipped_key_has_a_plan(plans):
