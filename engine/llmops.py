@@ -371,6 +371,52 @@ def _side_value(bc, key):
     return val
 
 
+# Driver-side cache of the Broadcast OBJECT itself, keyed by
+# (applicationId, side_key): repeated blocked-matmul queries in one session
+# previously re-pickled and re-published the same (ids, matrix) pair per
+# invocation (~15-20 ms warm at sf0.1 — measured r11). A session reusing the
+# broadcast is the driver-side twin of the worker _SIDE_CACHE. Evicted
+# entries are dropped without destroy(): a running plan may still hold the
+# broadcast, and Spark's ContextCleaner reclaims it on GC. Keyed by
+# applicationId so a restarted session never sees a stale handle.
+_BC_CACHE: dict[tuple, object] = {}
+_BC_CACHE_MAX = 4
+
+
+def _side_broadcast(spark, sf_dir: str, emb) -> tuple:
+    """(Broadcast[(ids, f32 matrix)], side_key) — cached per session+corpus.
+
+    A hit skips both the parquet read and the broadcast publish: the key
+    (path, mtime_ns, nrows) is computed from the footer + stat alone, the
+    same identity _broadcast_side stamps, so a rewritten corpus misses.
+    side_key None (toPandas fallback: corpus identity unprovable) always
+    builds a fresh broadcast."""
+    try:
+        import os
+
+        from engine.tables import parquet_num_rows
+
+        path = f"{sf_dir}/embeddings.parquet"
+        n = parquet_num_rows(path)
+        if n is not None and n <= _MAX_BROADCAST_VECTORS:
+            side_key = (os.path.abspath(path), os.stat(path).st_mtime_ns, int(n))
+            ck = (spark.sparkContext.applicationId, side_key)
+            bc = _BC_CACHE.get(ck)
+            if bc is not None:
+                return bc, side_key
+    except Exception:
+        pass
+    b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
+    if side_key is None:
+        return spark.sparkContext.broadcast((b_ids, b_mat)), None
+    ck = (spark.sparkContext.applicationId, side_key)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    if len(_BC_CACHE) >= _BC_CACHE_MAX:
+        _BC_CACHE.pop(next(iter(_BC_CACHE)))
+    _BC_CACHE[ck] = bc
+    return bc, side_key
+
+
 def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
     """(ids, float32 matrix, cache_key) for the broadcast side of
     blocked-matmul kernels.
@@ -487,8 +533,7 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast side: the full id+matrix pair (float32 — source precision —
     # once, not per-pair), size-gated + pyarrow-direct via the shared helper;
     # side_key lets reused workers skip re-deserializing it per task.
-    b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    bc, side_key = _side_broadcast(spark, sf_dir, emb)
 
     # Probe side = block index, not a second scan (r11): both sides of the
     # pair space are the SAME ≤1M-row table (the broadcast gate bounds it),

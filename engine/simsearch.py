@@ -63,11 +63,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    from engine.llmops import _broadcast_side
+    from engine.llmops import _side_broadcast
 
     emb = load(spark, sf_dir, "embeddings")
-    b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    bc, side_key = _side_broadcast(spark, sf_dir, emb)
     thresh = _COS_THRESH
 
     # Probe side = block index over the SAME gated ≤1M-row table (see

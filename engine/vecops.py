@@ -338,8 +338,7 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Small-corpus fast path: one gather+einsum per Arrow batch against
         # the broadcast float32 matrix (reusing sim_topk_pairs' side; f32 is
         # the parquet source precision, upcast to f64 at the gather).
-        side_ids, side_mat, side_key = llmops._broadcast_side(spark, sf_dir, emb)
-        bc_side = spark.sparkContext.broadcast((side_ids, side_mat))
+        bc_side, side_key = llmops._side_broadcast(spark, sf_dir, emb)
 
         def pair_sims(batches):
             try:  # per-worker cache of the f32 side (see llmops._side_value)
