@@ -89,3 +89,32 @@ def test_dedup_exact_idempotent(spark):
     out = queries["dedup_exact"](spark, SF_DIR)
     n = out.count()
     assert out.select("prefix40").distinct().count() == n
+
+
+def test_side_broadcast_cached_per_session_corpus(spark, tmp_path):
+    """_side_broadcast returns the SAME Broadcast handle for repeated calls
+    on an unchanged corpus (the r11 driver-side cache), and a NEW handle when
+    the corpus bytes change (mtime/nrows key miss) — a stale hit would serve
+    old vectors to every blocked-matmul kernel."""
+    import shutil
+
+    from engine.llmops import _side_broadcast
+    from engine.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    bc1, key1 = _side_broadcast(spark, SF_DIR, emb)
+    bc2, key2 = _side_broadcast(spark, SF_DIR, emb)
+    assert key1 is not None and key1 == key2
+    assert bc1 is bc2  # hit: no re-publish
+
+    # Rewritten corpus (copy → different path+mtime) must miss.
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    shutil.copy2(f"{SF_DIR}/embeddings.parquet", alt / "embeddings.parquet")
+    emb_alt = spark.read.parquet(str(alt / "embeddings.parquet"))
+    bc3, key3 = _side_broadcast(spark, str(alt), emb_alt)
+    assert key3 != key1
+    assert bc3 is not bc1
+    # cached value matches the on-disk side row count
+    ids, mat = bc1.value
+    assert len(ids) == emb.count() and mat.dtype.name == "float32"
