@@ -328,6 +328,11 @@ _KMEANS_CTES = """
 # caching the plan skips repeating the two bounded centroid collects.
 _ASSIGN_CACHE: dict[tuple, DataFrame] = {}
 
+# dedup_semdedup collapse path: the previous invocation's persisted dup-group
+# relation, swapped out on entry (simsearch's ADVICE-r10 pattern — the
+# returned plan reads grp lazily, so the persist can't be scoped here).
+_LAST_GRP: dict[int, DataFrame] = {}
+
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Lloyd-step assignment pipeline: (vec_id, cid, d2) after one
@@ -361,50 +366,96 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cid"), F.col("x").alias("cl"))
     )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        # d2 terms in the oracle's exact order and association:
-        # |x|² − 2·(x·c) + |c|², every dot an ordered fold.
-        d2 = (
-            _dot(F.col("x"), F.col("x"))
-            - 2 * _dot(F.col("x"), F.col("cl"))
-            + _dot(F.col("cl"), F.col("cl"))
-        )
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("s")
-        )
-        # min over (d2, cid) structs ≡ the oracle's row_number ORDER BY
-        # d2, cid — lexicographic struct ordering, partial-aggregable.
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.min("s").alias("b"))
-            .select(
-                "vec_id",
-                F.col("b.cid").alias("cid"),
-                F.col("b.d2").alias("d2"),
-            )
-        )
-
-    a1 = assign(c0)
+    a1 = _assign_step(emb, c0)
     c1m = (
         a1.join(emb, "vec_id")
         .select("cid", F.posexplode("x"))
         .groupBy("cid", "pos")
         .agg(F.round(F.avg("col"), 8).alias("v"))
     )
+    out = _assign_step(emb, _rebuild_centroids(c0, c1m))
+    _ASSIGN_CACHE[ck] = out
+    return out
+
+
+def _assign_step(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """One assignment pass: (vec_id, cid, d2) = argmin over the broadcast
+    centroid relation. d2 terms in the oracle's exact order and
+    association: |x|² − 2·(x·c) + |c|², every dot an ordered fold. min
+    over (d2, cid) structs ≡ the oracle's row_number ORDER BY d2, cid —
+    lexicographic struct ordering, partial-aggregable."""
+    d2 = (
+        _dot(F.col("x"), F.col("x"))
+        - 2 * _dot(F.col("x"), F.col("cl"))
+        + _dot(F.col("cl"), F.col("cl"))
+    )
+    scored = pts.select("vec_id", "x").crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("s")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("s").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
+def _rebuild_centroids(c0: DataFrame, c1m: DataFrame) -> DataFrame:
+    """Reassemble updated centroid vectors from per-(cid, pos) means;
+    empty clusters keep their seed position (the oracle's coalesce)."""
     rebuilt = c1m.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "v"))),
             lambda s: s.getField("v"),
         ).alias("cl_new")
     )
-    c1 = (
-        c0.join(rebuilt, "cid", "left")
-        .select("cid", F.coalesce(F.col("cl_new"), F.col("cl")).alias("cl"))
+    return c0.join(rebuilt, "cid", "left").select(
+        "cid", F.coalesce(F.col("cl_new"), F.col("cl")).alias("cl")
     )
-    out = assign(c1)
-    _ASSIGN_CACHE[ck] = out
-    return out
+
+
+def _rep_lloyd_assign(emb_full: DataFrame, reps: DataFrame) -> DataFrame:
+    """The full-corpus Lloyd step evaluated at REPRESENTATIVE level
+    (dedup_semdedup's r11 collapse path): identical vectors get identical
+    (d2, cid) at every step, so assigning each distinct embedding once
+    reproduces every member's assignment — PROVIDED k, the seeds, and the
+    centroid update come from the FULL corpus:
+
+    - k = clamp(n_full/125, 4, 64) counts members, not groups;
+    - seeds are the full-corpus rows with vec_id < k (duplicate seed
+      positions keep their distinct cids: ties route members to the
+      lowest cid, but an empty duplicate seed RETAINS its unmoved
+      position through the update and can win re-assignments, so it
+      cannot be dropped);
+    - the per-(cid, pos) mean weights each rep by its member count
+      (sum(v·w)/sum(w) equals the member-wise avg up to FP summation
+      order; the shared round-to-8dp resynchronizes, exactly as it
+      already does between Spark's and DuckDB's orders).
+
+    reps: (vec_id = group min id, x, grp_n). Returns (vec_id, cid, d2)
+    at rep level."""
+    krel = emb_full.agg(
+        F.least(
+            F.greatest(F.lit(4), F.floor(F.count("*") / 125)), F.lit(64)
+        ).alias("k")
+    )
+    c0 = (
+        emb_full.crossJoin(F.broadcast(krel))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("cl"))
+    )
+    a1 = _assign_step(reps, c0)
+    w = F.col("grp_n").cast("double")
+    c1m = (
+        a1.join(reps, "vec_id")
+        .select("cid", w.alias("w"), F.posexplode("x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.sum(F.col("col") * F.col("w")) / F.sum("w"), 8).alias("v"))
+    )
+    return _assign_step(reps, _rebuild_centroids(c0, c1m))
 
 
 @query(
@@ -470,23 +521,109 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is linear in n at fixed cluster size. Embeddings ride the
     shuffle (no broadcast matrix, no size gate — the same posture the r04
     verdict required of sim_ann_rp_lsh). The dot is the ordered JVM fold,
-    so the τ comparison is bit-identical to the oracle's."""
-    a2 = kmeans_assign(spark, sf_dir).select("vec_id", "cid")
-    emb = load(spark, sf_dir, "embeddings").select(
+    so the τ comparison is bit-identical to the oracle's.
+
+    r11 exact-dup collapse (third member of the family: rp_lsh r07, IVF
+    r09): a clone corpus routes every duplicate into one cluster and the
+    within-cluster pairwise stage explodes quadratically in clone count —
+    the r11 100× rehearsal measured exponent 0.90 (2.9 s → 183 s) where
+    25× had read 0.39. One dup probe (footer rows vs
+    countDistinct(xxhash64(embedding)); a hash collision only
+    UNDER-counts, which routes to the collapse path whose grouping key is
+    the full array) decides: with dups the Lloyd step runs once per
+    DISTINCT embedding via _rep_lloyd_assign (k/seeds/update from the
+    full corpus — see its docstring for why that reproduces every
+    member's assignment), the ≥τ test runs once per qualifying REP pair,
+    and member-level output is recovered arithmetically: for dropped
+    member b, n_suppressors = Σ over qualifying suppressor groups of
+    |members < b| (an array filter, no join, no dots) and keeper = the
+    smallest qualifying group-min below b (group mins are the reps).
+    Dup-free corpora (every driver/test SF) take the original path
+    bit-identically at the cost of the one probe job."""
+    from engine.tables import parquet_num_rows
+
+    emb_raw = load(spark, sf_dir, "embeddings")
+    emb = emb_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    av = a2.join(emb, "vec_id")
-    x = av.select(
-        F.col("cid"), F.col("vec_id").alias("a"), F.col("x").alias("xa")
+    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    n_distinct = (
+        emb_raw.select(F.xxhash64("embedding").alias("gh"))
+        .agg(F.countDistinct("gh"))
+        .first()[0]
     )
-    y = av.select(
-        F.col("cid"), F.col("vec_id").alias("b"), F.col("x").alias("xb")
+    if _n is not None and n_distinct == _n:
+        a2 = kmeans_assign(spark, sf_dir).select("vec_id", "cid")
+        av = a2.join(emb, "vec_id")
+        x = av.select(
+            F.col("cid"), F.col("vec_id").alias("a"), F.col("x").alias("xa")
+        )
+        y = av.select(
+            F.col("cid"), F.col("vec_id").alias("b"), F.col("x").alias("xb")
+        )
+        pairs = (
+            x.join(y, "cid")
+            .filter(F.col("a") < F.col("b"))
+            .filter(_dot(F.col("xa"), F.col("xb")) >= 0.4)
+        )
+        return pairs.groupBy(F.col("b").alias("dropped_vec_id")).agg(
+            F.min("a").alias("keeper_vec_id"),
+            F.count("*").alias("n_suppressors"),
+        )
+
+    # Collapse path. grp feeds the rep pipeline twice and the pair join
+    # twice more — persist, swapping out the previous invocation's cache
+    # (the simsearch ADVICE-r10 pattern: at most one grp stays cached).
+    from pyspark import StorageLevel
+
+    prev = _LAST_GRP.pop(id(spark), None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    grp = (
+        emb.groupBy("x")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+            F.count("*").alias("grp_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = (
-        x.join(y, "cid")
-        .filter(F.col("a") < F.col("b"))
-        .filter(_dot(F.col("xa"), F.col("xb")) >= 0.4)
+    _LAST_GRP[id(spark)] = grp
+    reps = grp.select("vec_id", "x", "grp_n")
+    a2r = _rep_lloyd_assign(emb, reps).select("vec_id", "cid")
+    g = a2r.join(grp, "vec_id")
+    ga = g.select(
+        "cid",
+        F.col("vec_id").alias("gid_a"),
+        F.col("x").alias("xa"),
+        F.col("members").alias("members_a"),
     )
-    return pairs.groupBy(F.col("b").alias("dropped_vec_id")).agg(
-        F.min("a").alias("keeper_vec_id"), F.count("*").alias("n_suppressors")
+    gb = g.select(
+        "cid",
+        F.col("x").alias("xb"),
+        F.col("members").alias("members_b"),
+    )
+    # Symmetric rep-pair join INCLUDING the self pair (ga == gb): a
+    # group suppresses its own later members iff dot(x, x) ≥ τ, the
+    # same test the oracle applies to each identical member pair.
+    qual = ga.join(gb, "cid").filter(
+        _dot(F.col("xa"), F.col("xb")) >= 0.4
+    )
+    ex = qual.select("gid_a", "members_a", F.explode("members_b").alias("b"))
+    cnt = F.size(
+        F.filter("members_a", lambda m: m < F.col("b"))
+    )
+    return (
+        ex.select(
+            F.col("b"),
+            cnt.alias("cnt"),
+            F.when(F.col("gid_a") < F.col("b"), F.col("gid_a")).alias("kc"),
+        )
+        .groupBy(F.col("b").alias("dropped_vec_id"))
+        .agg(
+            F.min("kc").alias("keeper_vec_id"),
+            F.sum("cnt").alias("n_suppressors"),
+        )
+        .filter(F.col("n_suppressors") >= 1)
+        .select("dropped_vec_id", "keeper_vec_id", "n_suppressors")
     )

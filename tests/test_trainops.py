@@ -188,3 +188,46 @@ def test_ann_ivf_exact_dup_collapse(spark, tmp_path):
     )[:10]
     want = [(a, b, -s) for s, a, b in allp]
     assert got == want, f"collapse path diverged from brute force:\n{got}\nvs\n{want}"
+
+
+def test_semdedup_exact_dup_collapse(spark, tmp_path):
+    """r11 clone-floor fix (third of the family: rp_lsh r07, IVF r09): on
+    a corpus WITH exact-duplicate embeddings dedup_semdedup must route
+    through the collapse prestage (rep-level Lloyd + arithmetic member
+    expansion) and still produce EXACTLY the full-corpus result — keeper
+    ids and suppressor counts are integers, so the bar is equality
+    against the registered DuckDB oracle run on the same clone corpus
+    (which executes the member-level semantics directly)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from engine.registry import collect
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = [base] + [
+        base.withColumn("vec_id", F.col("vec_id") + i * 1_000_000) for i in (1, 2)
+    ]
+    dup = parts[0]
+    for p in parts[1:]:
+        dup = dup.unionByName(p)
+    dup.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    queries, oracles = collect()
+    res = queries["dedup_semdedup"].__wrapped__(spark, str(tmp_path)).collect()
+    got = {
+        r["dropped_vec_id"]: (r["keeper_vec_id"], r["n_suppressors"]) for r in res
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        int(b): (int(k), int(n))
+        for b, k, n in con.sql(oracles["dedup_semdedup"]).fetchall()
+    }
+    assert len(got) > 0 and got == want, (
+        f"collapse path diverged: {len(got)} vs {len(want)} rows; "
+        f"sample got={dict(list(got.items())[:3])} want={dict(list(want.items())[:3])}"
+    )
