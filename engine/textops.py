@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from engine.registry import query
 from engine.tables import load
 
+# dedup_ngram_jaccard collapse path: the previous invocation's persisted
+# dup-group relation, swapped out on entry (simsearch's ADVICE-r10 pattern —
+# the returned plan reads grp lazily, so the persist can't be scoped there).
+_LAST_GRP: dict[int, DataFrame] = {}
+
 # --- shared expression builders (Spark side) --------------------------------
 
 # polynomial string hash: fold chars as (acc*131 + ascii(char)) mod (2^31-1);
@@ -354,8 +359,86 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     r02 plan fixes (19 s → ~2 s warm at sf0.1): grams are int64 xxhash64 ids
     (word_ngram_ids), the shingling stage is parallelized past the 1-split
     scan (spread_cpu), and the explode no longer duplicates the transform
-    into a pushed-down size()>0 scan filter (explode_nonempty)."""
+    into a pushed-down size()>0 scan filter (explode_nonempty).
+
+    r11 exact-dup collapse (fourth of the family: rp_lsh r07, IVF r09,
+    semdedup r11): the gram equi-join emits Σ_g f_g² rows, so a clone
+    corpus multiplies join output by clone², — the r11 100× rehearsal's
+    first warm run was still grinding that join after 12 minutes (vs
+    ~1 s at 1×; 5× had read exponent 0.86). One probe (footer rows vs
+    countDistinct(xxhash64(text)); a collision only UNDER-counts, which
+    routes to the collapse path whose grouping key is the full text)
+    decides: with dups the kernel runs once per DISTINCT text — identical
+    text ⇒ identical gram set ⇒ identical candidate membership and
+    Jaccard — then rep pairs expand to all cross member pairs
+    (least/greatest keeps the a<b orientation, Jaccard rides along
+    unchanged) and intra-group pairs emit jaccard 1.0 directly (identical
+    sets; guarded on a non-empty gram set, matching the oracle's NULL
+    0/0 exclusion of gramless docs). Dup-free corpora take the original
+    path bit-identically at the cost of the one probe job."""
+    from engine.tables import parquet_num_rows
+
     d = load(spark, sf_dir, "documents")
+    _n = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n_distinct = (
+        d.select(F.xxhash64("text").alias("h")).agg(F.countDistinct("h")).first()[0]
+    )
+    if _n is not None and n_distinct == _n:
+        return _ngram_jaccard_kernel(d)
+
+    # Collapse path: rep pairs feed two member joins and the intra branch
+    # reads grp again — persist, swapping out the previous invocation's
+    # cache (the simsearch ADVICE-r10 pattern).
+    from pyspark import StorageLevel
+
+    prev = _LAST_GRP.pop(id(spark), None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    grp = (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count("*").alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LAST_GRP[id(spark)] = grp
+    reps = grp.select("doc_id", "text")
+    rep_pairs = _ngram_jaccard_kernel(reps)
+    ma = grp.select(F.col("doc_id").alias("a_id"), F.col("members").alias("members_a"))
+    mb = grp.select(F.col("doc_id").alias("b_id"), F.col("members").alias("members_b"))
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select("jaccard", F.explode("members_a").alias("m"), "members_b")
+        .select("jaccard", "m", F.explode("members_b").alias("m2"))
+        .select(
+            F.least("m", "m2").alias("a_id"),
+            F.greatest("m", "m2").alias("b_id"),
+            "jaccard",
+        )
+    )
+    nn = word_ngram_ids(reps, 3).select("doc_id", F.size("s").alias("n"))
+    intra = (
+        grp.join(nn, "doc_id")
+        .filter((F.col("w") >= 2) & (F.col("n") > 0))
+        .select(F.explode("members").alias("m"), "members")
+        .select("m", F.explode("members").alias("m2"))
+        .filter(F.col("m") < F.col("m2"))
+        .select(
+            F.col("m").alias("a_id"),
+            F.col("m2").alias("b_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _ngram_jaccard_kernel(d: DataFrame) -> DataFrame:
+    """The count-aggregated inverted-index Jaccard join over a documents
+    relation (see dedup_ngram_jaccard) — extracted r11 so the collapse
+    path can run it over representatives with an identical plan."""
     sh = word_ngram_ids(d, 3)
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")

@@ -231,3 +231,44 @@ def test_semdedup_exact_dup_collapse(spark, tmp_path):
         f"collapse path diverged: {len(got)} vs {len(want)} rows; "
         f"sample got={dict(list(got.items())[:3])} want={dict(list(want.items())[:3])}"
     )
+
+
+def test_ngram_jaccard_exact_dup_collapse(spark, tmp_path):
+    """r11 clone-floor fix, lexical edition: on a corpus with duplicate
+    TEXTS dedup_ngram_jaccard must route through the collapse prestage
+    (kernel over distinct texts + member expansion, intra pairs at
+    jaccard 1.0) and equal the registered DuckDB oracle run on the same
+    clone corpus — which executes the member-level Σ_g f_g² join
+    directly. Jaccard is rounded to 4dp on both sides; pair ids are
+    integers, so the bar is exact equality."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from engine.registry import collect
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = [base] + [
+        base.withColumn("doc_id", F.col("doc_id") + i * 1_000_000) for i in (1, 2)
+    ]
+    dup = parts[0]
+    for p in parts[1:]:
+        dup = dup.unionByName(p)
+    dup.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    queries, oracles = collect()
+    res = queries["dedup_ngram_jaccard"].__wrapped__(spark, str(tmp_path)).collect()
+    got = sorted((r["a_id"], r["b_id"], r["jaccard"]) for r in res)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), float(j))
+        for a, b, j in con.sql(oracles["dedup_ngram_jaccard"]).fetchall()
+    )
+    assert len(got) > 0 and got == want, (
+        f"collapse path diverged: {len(got)} vs {len(want)} rows; "
+        f"got[:3]={got[:3]} want[:3]={want[:3]}"
+    )
