@@ -483,10 +483,45 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop over the same two steps; nothing grows with corpus size. The
     assignment pipeline lives in kmeans_assign (shared with
     dedup_semdedup, where the scaled k is what keeps pairwise dedup
-    linear — measured in docs/SCALE.md's rehearsal)."""
-    a2 = kmeans_assign(spark, sf_dir)
-    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count("*").alias("n_members"), F.round(F.sum("d2"), 2).alias("inertia")
+    linear — measured in docs/SCALE.md's rehearsal).
+
+    r11 exact-dup collapse (piggybacking dedup_semdedup's machinery):
+    with duplicate embeddings the Lloyd step runs once per DISTINCT
+    vector via _rep_lloyd_assign, and the per-cluster aggregates are
+    weighted rep aggregates — n_members = Σ group sizes, inertia =
+    Σ d2·size (every member's d2 equals its rep's; the round-to-2dp
+    absorbs the weighted vs member-wise summation order). Dup-free
+    corpora take the original path bit-identically plus the probe."""
+    from engine.tables import parquet_num_rows
+
+    emb_raw = load(spark, sf_dir, "embeddings")
+    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    n_distinct = (
+        emb_raw.select(F.xxhash64("embedding").alias("gh"))
+        .agg(F.countDistinct("gh"))
+        .first()[0]
+    )
+    if _n is not None and n_distinct == _n:
+        a2 = kmeans_assign(spark, sf_dir)
+        return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+    emb = emb_raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    reps = emb.groupBy("x").agg(
+        F.min("vec_id").alias("vec_id"), F.count("*").alias("grp_n")
+    )
+    a2r = _rep_lloyd_assign(emb, reps)
+    w = F.col("grp_n").cast("double")
+    return (
+        a2r.join(reps.select("vec_id", "grp_n"), "vec_id")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.sum("grp_n").alias("n_members"),
+            F.round(F.sum(F.col("d2") * w), 2).alias("inertia"),
+        )
     )
 
 

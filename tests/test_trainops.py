@@ -272,3 +272,35 @@ def test_ngram_jaccard_exact_dup_collapse(spark, tmp_path):
         f"collapse path diverged: {len(got)} vs {len(want)} rows; "
         f"got[:3]={got[:3]} want[:3]={want[:3]}"
     )
+
+
+def test_kmeans_lloyd_exact_dup_collapse(spark, tmp_path):
+    """emb_kmeans_lloyd's r11 collapse (dedup_semdedup's machinery): on a
+    clone corpus the per-cluster counts and inertia from the rep-level
+    weighted path must equal the registered DuckDB oracle run on the
+    same corpus (full member-level Lloyd step)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from engine.registry import collect
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dup = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ).unionByName(base.withColumn("vec_id", F.col("vec_id") + 2_000_000))
+    dup.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    queries, oracles = collect()
+    res = queries["emb_kmeans_lloyd"].__wrapped__(spark, str(tmp_path)).collect()
+    got = {r["cluster_id"]: (r["n_members"], round(r["inertia"], 2)) for r in res}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        int(c): (int(n), round(float(i), 2))
+        for c, n, i in con.sql(oracles["emb_kmeans_lloyd"]).fetchall()
+    }
+    assert len(got) > 0 and got == want, f"{got} vs {want}"
