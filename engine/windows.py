@@ -54,16 +54,49 @@ def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank with real ties (l_quantity has 50 distinct values) —
-    peers get identical ranks in both engines, so no tie-break is needed."""
+    peers get identical ranks in both engines, so no tie-break is needed.
+
+    r11 rewrite: the textbook per-row window (partitionBy(l_returnflag))
+    serializes the corpus into THREE single-threaded sorts — the same
+    low-cardinality-partition bottleneck agg_weighted_percentile had
+    (its 100× wall exponent was 0.98). Because the rank of a row depends
+    only on its (flag, quantity) pair, ranks are computed on the 3×50
+    per-value COUNT table instead: rank = 1 + exclusive cumulative count
+    of higher quantities, dense_rank = row_number over the distinct
+    values — then broadcast-joined back. Identical output (peers share a
+    (flag, qty) cell by definition), and the fact table is never
+    shuffled or sorted: one map-side-combined count agg + a broadcast
+    map join, scale-safe at any corpus size."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    ranks = counts.select(
         "l_returnflag",
         "l_quantity",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        (
+            F.coalesce(
+                F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("rnk"),
+        F.row_number().over(wv).cast("int").alias("drnk"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .join(F.broadcast(ranks), ["l_returnflag", "l_quantity"])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            "rnk",
+            "drnk",
+        )
     )
 
 
