@@ -200,6 +200,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # suite. r12 expectation: next_window.py 12 → the remaining r03 greens
 # plus the oldest r04 greens (re-run the script at the boundary, don't
 # paste — a red r11 key re-enters and displaces rotation slots).
+#
+# r12 rehearsal (r11 close, simulated all-green r11 evidence): the
+# derivation yields the 16 remaining r03 greens (tpch_q18_large_orders
+# … unpivot_long, alphabetical) then the 34 oldest r04 greens
+# (agg_approx_distinct … stream_late_data). Paste-from-rehearsal is
+# still wrong if any r11 window key comes back red — re-run the script
+# against the REAL CORRECTNESS_r11.json at the boundary.
 _WINDOW_ROUND = 11  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
