@@ -207,6 +207,8 @@ def _sweep_sidecar_path(sweep_out: dict, repo_dir: str) -> str:
             existing = json.load(fh)
     except (OSError, ValueError):
         return primary
+    if not isinstance(existing, dict):  # valid-but-non-object JSON: no claim
+        return primary
     if existing.get("quiet_host"):
         return os.path.join(repo_dir, "BENCH_SWEEP_NONQUIET.json")
     return primary

@@ -351,23 +351,36 @@ _MAX_BROADCAST_VECTORS = 1_000_000  # float32 broadcast budget (~0.25 GB at dim 
 # width-4 spread paid it 4× per run (VERDICT r10 item 3). A module-level
 # dict lives in the reused worker process, so only the first task per
 # worker per corpus loads the pickle; everything after is a dict hit.
-# Bounded: tiny test corpora churn keys, so cap the entries.
+# Bounded by BYTES, not entries (r11 review): a corpus near the 1M-vector
+# gate is ~0.25 GB as f32, so an entry-count cap could pin ~1 GB per reused
+# worker for the application lifetime. FIFO-evict until the new entry fits.
 _SIDE_CACHE: dict[tuple, tuple] = {}
-_SIDE_CACHE_MAX = 4
+_SIDE_CACHE_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _side_value(bc, key):
-    """Worker-side accessor: cached (ids, f32 matrix), loading bc.value
-    only on the first task a worker process sees for this corpus."""
+    """Worker-side accessor: cached (ids, matrix), loading bc.value only
+    on the first task a worker process sees for this corpus."""
     if key is not None:
         hit = _SIDE_CACHE.get(key)
         if hit is not None:
             return hit
     val = bc.value
     if key is not None:
-        if len(_SIDE_CACHE) >= _SIDE_CACHE_MAX:
-            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
-        _SIDE_CACHE[key] = val
+        nbytes = int(getattr(val[0], "nbytes", 0)) + int(
+            getattr(val[1], "nbytes", 0)
+        )
+        if nbytes <= _SIDE_CACHE_MAX_BYTES:
+            held = sum(
+                int(getattr(v[0], "nbytes", 0)) + int(getattr(v[1], "nbytes", 0))
+                for v in _SIDE_CACHE.values()
+            )
+            while _SIDE_CACHE and held + nbytes > _SIDE_CACHE_MAX_BYTES:
+                old = _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+                held -= int(getattr(old[0], "nbytes", 0)) + int(
+                    getattr(old[1], "nbytes", 0)
+                )
+            _SIDE_CACHE[key] = val
     return val
 
 
@@ -418,13 +431,16 @@ def _side_broadcast(spark, sf_dir: str, emb) -> tuple:
 
 
 def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
-    """(ids, float32 matrix, cache_key) for the broadcast side of
-    blocked-matmul kernels.
+    """(ids, source-precision matrix, cache_key) for the broadcast side
+    of blocked-matmul kernels.
 
-    float32, not float64 (r11): the parquet column is array<float>, so
-    f32 is the SOURCE precision — broadcasting it halves the pickle the
-    workers deserialize, and the refine stages upcast candidate rows
-    losslessly (f32→f64 is exact). cache_key identifies the corpus bytes
+    Source precision, not a fixed dtype (r11): an array<float> column is
+    shipped as f32 — halving the pickle the workers deserialize, with
+    the refine stages upcasting candidate rows losslessly (f32→f64 is
+    exact) — while an array<double> source stays f64 (narrowing it would
+    quantize values and break bit-identity with the oracle's f64 dots).
+    Every kernel consuming this side is dtype-agnostic (numpy upcasts at
+    the refine gather). cache_key identifies the corpus bytes
     (path, mtime_ns, nrows) for the per-worker _SIDE_CACHE; None when the
     source isn't a stat-able path (toPandas fallback) — then every task
     loads bc.value as before.
@@ -459,7 +475,12 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
         flat = t.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
-        b_mat = flat.astype(np.float32).reshape(len(b_ids), -1)
+        # Ship the SOURCE precision: an array<float> column stays f32
+        # (halves the pickle; f32→f64 upcast at refine is exact), but a
+        # double source must NOT be narrowed — quantizing would break the
+        # bit-identity contract with the oracle's f64 dots (r11 review).
+        dt = np.float32 if flat.dtype == np.float32 else np.float64
+        b_mat = flat.astype(dt).reshape(len(b_ids), -1)
         key = (os.path.abspath(path), os.stat(path).st_mtime_ns, int(n))
     except RuntimeError:
         raise
@@ -473,7 +494,11 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
             )
         side = emb.select("vec_id", "embedding").toPandas()
         b_ids = side["vec_id"].to_numpy()
-        b_mat = np.stack(side["embedding"].to_numpy()).astype(np.float32)
+        from pyspark.sql.types import FloatType
+
+        elem = emb.schema["embedding"].dataType.elementType
+        dt = np.float32 if isinstance(elem, FloatType) else np.float64
+        b_mat = np.stack(side["embedding"].to_numpy()).astype(dt)
         key = None
     return b_ids, b_mat, key
 

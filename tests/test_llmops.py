@@ -118,3 +118,35 @@ def test_side_broadcast_cached_per_session_corpus(spark, tmp_path):
     # cached value matches the on-disk side row count
     ids, mat = bc1.value
     assert len(ids) == emb.count() and mat.dtype.name == "float32"
+
+
+def test_broadcast_side_keeps_double_source_precision(spark, tmp_path):
+    """r11 review fix: an array<double> embeddings source must NOT be
+    narrowed to f32 by _broadcast_side (quantizing would break the
+    bit-identity contract with the oracle's f64 dots); an array<float>
+    source ships as f32 (exact upcast at refine). Checked through the
+    pyarrow-direct path on a double-written copy of the corpus."""
+    from pyspark.sql import functions as F
+
+    from engine.llmops import _broadcast_side
+    from engine.tables import load
+
+    base = load(spark, SF_DIR, "embeddings")
+    alt = tmp_path / "dbl"
+    alt.mkdir()
+    base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).coalesce(1).write.parquet(str(alt / "embeddings.parquet"))
+    # Spark writes a DIRECTORY; _broadcast_side stats the path either way.
+    emb_dbl = spark.read.parquet(str(alt / "embeddings.parquet"))
+    ids_d, mat_d, _ = _broadcast_side(spark, str(alt), emb_dbl)
+    assert mat_d.dtype.name == "float64", mat_d.dtype
+
+    ids_f, mat_f, _ = _broadcast_side(spark, SF_DIR, base)
+    assert mat_f.dtype.name == "float32", mat_f.dtype
+    # same values modulo representation
+    import numpy as np
+
+    a = mat_f[np.argsort(ids_f)].astype(np.float64)
+    b = mat_d[np.argsort(ids_d)]
+    assert np.array_equal(a, b)

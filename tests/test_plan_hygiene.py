@@ -52,15 +52,17 @@ _SKIP_PREFIXES = (
     "multimodal_decode",
 )
 
-# Keys whose contract IS Python execution — BatchEvalPython/ArrowEvalPython/
-# PythonMapInArrow etc. are expected there. This list is EXACT in both
-# directions: test_python_eval_only_in_declared_surface forbids Python eval
-# outside it, and test_python_surface_waivers_are_exact asserts every entry
-# actually plans a Python eval node (a stale waiver would let a future
-# regression hide behind it). Pruned r11: multimodal_frame_sample,
-# multimodal_binary_meta, multimodal_join, text_lang_id, emb_scalar_quantize,
-# dedup_near_minhash, fn_variant_shred — all pure-JVM since their lit_table /
-# built-in-function rewrites.
+# Keys whose contract IS Python execution. This list is EXACT in both
+# directions (r11, tightened twice): test_python_eval_only_in_declared_surface
+# forbids ANY Python eval marker outside it — not just BatchEvalPython — and
+# test_python_surface_waivers_are_exact asserts every entry actually plans a
+# Python eval node (a stale waiver would let a future regression hide behind
+# it). Pruned r11: multimodal_frame_sample, multimodal_binary_meta,
+# multimodal_join, text_lang_id, emb_scalar_quantize, dedup_near_minhash,
+# fn_variant_shred — all pure-JVM since their lit_table / built-in-function
+# rewrites. Added r11 (full-marker forward check): the three Arrow-batched
+# blocked-matmul kernels and the heavy-hitters SpaceSaving merge, whose
+# purpose at gated sizes IS the vectorized Python kernel.
 _PYTHON_SURFACE = {
     "udf_python_scalar",
     "udf_python_arrow_scalar",
@@ -73,13 +75,18 @@ _PYTHON_SURFACE = {
     "udf_mapinpandas_stream",
     "sim_ann_rp_lsh",
     "sim_ann_ivf",
+    "sim_topk_pairs",
+    "dedup_embedding_cosine",
+    "agg_heavy_hitters",
 }
 
 # Every physical-plan marker Spark uses for a Python execution boundary.
+# "MapInArrow" also covers "PythonMapInArrow" as a substring; Spark 4's
+# mapInArrow node prints as plain `MapInArrow` (verified on sim_topk_pairs).
 _PYTHON_EVAL_MARKERS = (
     "BatchEvalPython",
     "ArrowEvalPython",
-    "PythonMapInArrow",
+    "MapInArrow",
     "MapInPandas",
     "FlatMapGroupsInPandas",
     "FlatMapGroupsInArrow",
@@ -162,9 +169,10 @@ def test_python_eval_only_in_declared_surface(plans):
     for key, plan in plans.items():
         if key in _PYTHON_SURFACE:
             continue
-        if "BatchEvalPython" in plan:
-            bad.append(key)
-    assert not bad, f"row-at-a-time Python eval leaked into: {bad}"
+        hits = [m for m in _PYTHON_EVAL_MARKERS if m in plan]
+        if hits:
+            bad.append((key, hits))
+    assert not bad, f"Python eval leaked outside the declared surface: {bad}"
 
 
 def test_python_surface_waivers_are_exact(plans):
