@@ -328,11 +328,6 @@ _KMEANS_CTES = """
 # caching the plan skips repeating the two bounded centroid collects.
 _ASSIGN_CACHE: dict[tuple, DataFrame] = {}
 
-# dedup_semdedup collapse path: the previous invocation's persisted dup-group
-# relation, swapped out on entry (simsearch's ADVICE-r10 pattern — the
-# returned plan reads grp lazily, so the persist can't be scoped here).
-_LAST_GRP: dict[int, DataFrame] = {}
-
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Lloyd-step assignment pipeline: (vec_id, cid, d2) after one
@@ -492,16 +487,12 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ d2·size (every member's d2 equals its rep's; the round-to-2dp
     absorbs the weighted vs member-wise summation order). Dup-free
     corpora take the original path bit-identically plus the probe."""
-    from engine.tables import parquet_num_rows
+    from engine.tables import all_rows_distinct, swap_persist
 
     emb_raw = load(spark, sf_dir, "embeddings")
-    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    n_distinct = (
-        emb_raw.select(F.xxhash64("embedding").alias("gh"))
-        .agg(F.countDistinct("gh"))
-        .first()[0]
-    )
-    if _n is not None and n_distinct == _n:
+    if all_rows_distinct(
+        spark, f"{sf_dir}/embeddings.parquet", emb_raw, "embedding"
+    ):
         a2 = kmeans_assign(spark, sf_dir)
         return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
             F.count("*").alias("n_members"),
@@ -510,8 +501,15 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    reps = emb.groupBy("x").agg(
-        F.min("vec_id").alias("vec_id"), F.count("*").alias("grp_n")
+    # reps feeds both _assign_step passes, the c1m join, and the output
+    # join — persist (r11 review: the unpersisted version recomputed the
+    # full-corpus groupBy up to 4x per run).
+    reps = swap_persist(
+        spark,
+        emb.groupBy("x").agg(
+            F.min("vec_id").alias("vec_id"), F.count("*").alias("grp_n")
+        ),
+        "kmeans_reps",
     )
     a2r = _rep_lloyd_assign(emb, reps)
     w = F.col("grp_n").cast("double")
@@ -575,19 +573,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest qualifying group-min below b (group mins are the reps).
     Dup-free corpora (every driver/test SF) take the original path
     bit-identically at the cost of the one probe job."""
-    from engine.tables import parquet_num_rows
+    from engine.tables import all_rows_distinct, swap_persist
 
     emb_raw = load(spark, sf_dir, "embeddings")
     emb = emb_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    n_distinct = (
-        emb_raw.select(F.xxhash64("embedding").alias("gh"))
-        .agg(F.countDistinct("gh"))
-        .first()[0]
-    )
-    if _n is not None and n_distinct == _n:
+    if all_rows_distinct(
+        spark, f"{sf_dir}/embeddings.parquet", emb_raw, "embedding"
+    ):
         a2 = kmeans_assign(spark, sf_dir).select("vec_id", "cid")
         av = a2.join(emb, "vec_id")
         x = av.select(
@@ -607,23 +601,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # Collapse path. grp feeds the rep pipeline twice and the pair join
-    # twice more — persist, swapping out the previous invocation's cache
-    # (the simsearch ADVICE-r10 pattern: at most one grp stays cached).
-    from pyspark import StorageLevel
-
-    prev = _LAST_GRP.pop(id(spark), None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    grp = (
-        emb.groupBy("x")
-        .agg(
+    # twice more — persist via the shared swap (at most one grp cached
+    # per session).
+    grp = swap_persist(
+        spark,
+        emb.groupBy("x").agg(
             F.min("vec_id").alias("vec_id"),
             F.sort_array(F.collect_list("vec_id")).alias("members"),
             F.count("*").alias("grp_n"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        "semdedup_grp",
     )
-    _LAST_GRP[id(spark)] = grp
     reps = grp.select("vec_id", "x", "grp_n")
     a2r = _rep_lloyd_assign(emb, reps).select("vec_id", "cid")
     g = a2r.join(grp, "vec_id")

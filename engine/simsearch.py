@@ -27,10 +27,6 @@ from pyspark.sql import functions as F
 from engine.registry import query
 from engine.tables import load
 
-# sim_ann_ivf's dup-collapse cache, keyed by session id — see the
-# swap-out note at the persist site.
-_LAST_GRP: dict[int, DataFrame] = {}
-
 _COS_THRESH = 0.4  # corpus max pair-sim is 0.51; 0.4 keeps a small stable set
 
 
@@ -167,7 +163,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark import StorageLevel
 
     k = 10
     nprobe = 3
@@ -184,38 +179,30 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10k -> 18; 1M -> 177), so every tested SF keeps its exact plan and
     # growth pays the extra Python cluster-groups only when cluster sizes
     # would otherwise grow past ~750 postings.
-    from engine.tables import parquet_num_rows
+    from engine.tables import all_rows_distinct, parquet_num_rows, swap_persist
 
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     emb = load(spark, sf_dir, "embeddings")
-    # r09 dup probe (see docstring): int64 hashes shuffle, never arrays.
-    n_distinct = (
-        emb.select(F.xxhash64("embedding").alias("gh"))
-        .agg(F.countDistinct("gh"))
-        .first()[0]
+    # r09 dup probe (see docstring), r11: shared memoized helper —
+    # int64 hashes shuffle, never arrays; cached per (session, corpus).
+    has_dups = not all_rows_distinct(
+        spark, f"{sf_dir}/embeddings.parquet", emb, "embedding"
     )
-    has_dups = _n is None or n_distinct < _n
     if has_dups:
         # The returned plan reads grp three times (ga/gb expansion +
-        # intra blocks) lazily, so the persist can't be scoped inside
-        # this call — instead swap out the PREVIOUS invocation's cache
-        # (ADVICE r10: repeated bench runs accumulated cached relations
-        # for the session lifetime; now at most one grp stays cached).
-        prev = _LAST_GRP.pop(id(spark), None)
-        if prev is not None:
-            prev.unpersist(blocking=False)
-        grp = (
-            emb.groupBy("embedding")
-            .agg(
+        # intra blocks) lazily — persist via the shared swap (ADVICE
+        # r10: at most one grp stays cached per session).
+        grp = swap_persist(
+            spark,
+            emb.groupBy("embedding").agg(
                 F.min("vec_id").alias("vec_id"),
                 F.slice(F.sort_array(F.collect_list("vec_id")), 1, k + 1).alias(
                     "members"
                 ),
                 F.count("*").alias("grp_n"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ),
+            "ivf_grp",
         )
-        _LAST_GRP[id(spark)] = grp
         reps = grp.select("vec_id", "embedding")
         # nlist sizes from the relation actually indexed (the reps); the
         # count doubles as grp's materialization for the later consumers.

@@ -239,3 +239,75 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)
     _CACHE[key] = df
     return df
+
+
+# ---------------------------------------------------------------------------
+# exact-dup collapse shared machinery (r11 review consolidation)
+# ---------------------------------------------------------------------------
+
+# Probe results memoized per (applicationId, path, mtime_ns, nrows): the
+# probe is a full countDistinct scan, and each collapse-family key
+# (sim_ann_ivf, dedup_semdedup, emb_kmeans_lloyd, dedup_ngram_jaccard) runs
+# it on every invocation otherwise — a bench sweep paid several extra corpus
+# scans per round.
+_PROBE_CACHE: dict[tuple, bool] = {}
+_PROBE_CACHE_MAX = 64
+
+# Persisted collapse relations per (applicationId, tag): the returned plans
+# read their dup-group relation lazily, so the persist can't be scoped in
+# the query function — each new invocation swaps out the previous one
+# (ADVICE r10), and entries from other applications (stopped sessions) are
+# evicted so a process cycling SparkSessions doesn't pin dead wrappers.
+_COLLAPSE_PERSISTED: dict[tuple, DataFrame] = {}
+
+
+def all_rows_distinct(spark: SparkSession, path: str, df: DataFrame, col: str) -> bool:
+    """True iff every row of `df` has a distinct `col` value, proven by
+    footer rows == countDistinct(xxhash64(col)). False when unprovable
+    (no readable footer): callers route to their collapse path, whose
+    grouping key is the full column value — a hash collision or missing
+    footer only costs work, never correctness (collisions UNDER-count)."""
+    import os
+
+    n = parquet_num_rows(path)
+    if n is None:
+        return False
+    try:
+        ck = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            os.stat(path).st_mtime_ns,
+            int(n),
+        )
+    except OSError:
+        return False
+    hit = _PROBE_CACHE.get(ck)
+    if hit is None:
+        nd = (
+            df.select(F.xxhash64(col).alias("h"))
+            .agg(F.count_distinct("h"))
+            .first()[0]
+        )
+        hit = nd == n
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[ck] = hit
+    return hit
+
+
+def swap_persist(spark: SparkSession, df: DataFrame, tag: str) -> DataFrame:
+    """Persist MEMORY_AND_DISK under (applicationId, tag), unpersisting
+    the previous relation stored under the same key and dropping entries
+    of other (stopped) applications. At most one cached relation per tag
+    per live session."""
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    prev = _COLLAPSE_PERSISTED.pop((app, tag), None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    for k in [k for k in _COLLAPSE_PERSISTED if k[0] != app]:
+        _COLLAPSE_PERSISTED.pop(k, None)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _COLLAPSE_PERSISTED[(app, tag)] = out
+    return out

@@ -25,11 +25,6 @@ from pyspark.sql import functions as F
 from engine.registry import query
 from engine.tables import load
 
-# dedup_ngram_jaccard collapse path: the previous invocation's persisted
-# dup-group relation, swapped out on entry (simsearch's ADVICE-r10 pattern —
-# the returned plan reads grp lazily, so the persist can't be scoped there).
-_LAST_GRP: dict[int, DataFrame] = {}
-
 # --- shared expression builders (Spark side) --------------------------------
 
 # polynomial string hash: fold chars as (acc*131 + ascii(char)) mod (2^31-1);
@@ -376,36 +371,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets; guarded on a non-empty gram set, matching the oracle's NULL
     0/0 exclusion of gramless docs). Dup-free corpora take the original
     path bit-identically at the cost of the one probe job."""
-    from engine.tables import parquet_num_rows
+    from engine.tables import all_rows_distinct, swap_persist
 
     d = load(spark, sf_dir, "documents")
-    _n = parquet_num_rows(f"{sf_dir}/documents.parquet")
-    n_distinct = (
-        d.select(F.xxhash64("text").alias("h")).agg(F.countDistinct("h")).first()[0]
-    )
-    if _n is not None and n_distinct == _n:
+    if all_rows_distinct(spark, f"{sf_dir}/documents.parquet", d, "text"):
         return _ngram_jaccard_kernel(d)
 
     # Collapse path: rep pairs feed two member joins and the intra branch
-    # reads grp again — persist, swapping out the previous invocation's
-    # cache (the simsearch ADVICE-r10 pattern).
-    from pyspark import StorageLevel
-
-    prev = _LAST_GRP.pop(id(spark), None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    grp = (
-        d.groupBy("text")
-        .agg(
+    # reads grp again — persist via the shared swap.
+    grp = swap_persist(
+        spark,
+        d.groupBy("text").agg(
             F.min("doc_id").alias("doc_id"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.count("*").alias("w"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        "ngram_grp",
     )
-    _LAST_GRP[id(spark)] = grp
     reps = grp.select("doc_id", "text")
-    rep_pairs = _ngram_jaccard_kernel(reps)
+    sh_reps = word_ngram_ids(reps, 3)
+    rep_pairs = _ngram_jaccard_kernel(reps, sh=sh_reps)
     ma = grp.select(F.col("doc_id").alias("a_id"), F.col("members").alias("members_a"))
     mb = grp.select(F.col("doc_id").alias("b_id"), F.col("members").alias("members_b"))
     cross = (
@@ -419,7 +404,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    nn = word_ngram_ids(reps, 3).select("doc_id", F.size("s").alias("n"))
+    nn = sh_reps.select("doc_id", F.size("s").alias("n"))
     intra = (
         grp.join(nn, "doc_id")
         .filter((F.col("w") >= 2) & (F.col("n") > 0))
@@ -435,11 +420,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(intra)
 
 
-def _ngram_jaccard_kernel(d: DataFrame) -> DataFrame:
+def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """The count-aggregated inverted-index Jaccard join over a documents
     relation (see dedup_ngram_jaccard) — extracted r11 so the collapse
-    path can run it over representatives with an identical plan."""
-    sh = word_ngram_ids(d, 3)
+    path can run it over representatives with an identical plan. Pass a
+    precomputed `sh` (word_ngram_ids output) to share the shingle
+    subtree with other consumers."""
+    if sh is None:
+        sh = word_ngram_ids(d, 3)
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")
