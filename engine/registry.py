@@ -187,81 +187,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # newest_green <= target - 4); first-time attestation always outranks
 # re-attestation.
 #
-# r11 window (this list): pure staleness rotation — all 364 keys have a
-# first attestation, so every slot goes to the oldest greens: the 16
-# remaining r02-stale keys, then the 34 oldest r03 greens, alphabetical
-# within each staleness tier. Derived by `python scripts/next_window.py
-# 11` against the on-disk CORRECTNESS_r01..r10 evidence. (The r10 round
-# missed its rotation — the driver re-checked the r09 window — so this
-# list is exactly what the r09 rehearsal predicted for r10, now one
-# round later; r10's 50/50 green on the repeat window displaced
-# nothing.) tests/test_registry_window.py::test_window_equals_policy_output
-# pins this list == policy output; a hand-edit that diverges fails the
-# suite. r12 expectation: next_window.py 12 → the remaining r03 greens
-# plus the oldest r04 greens (re-run the script at the boundary, don't
-# paste — a red r11 key re-enters and displaces rotation slots).
+# Window history: r08 completed first-attestation coverage (364/364);
+# r09/r10 fronted the r01/r02-stale tiers; r11 fronted the 16 r02-stale
+# + 34 oldest r03 greens (50/50 green, CORRECTNESS_r11.json).
 #
-# r12 rehearsal (r11 close, simulated all-green r11 evidence): the
-# derivation yields the 16 remaining r03 greens (tpch_q18_large_orders
-# … unpivot_long, alphabetical) then the 34 oldest r04 greens
-# (agg_approx_distinct … stream_late_data). Paste-from-rehearsal is
-# still wrong if any r11 window key comes back red — re-run the script
-# against the REAL CORRECTNESS_r11.json at the boundary.
-_WINDOW_ROUND = 11  # CORRECTNESS_r{N}.json this window is aimed at
+# r12 window (this list): continued pure staleness rotation — the 16
+# remaining r03 greens (the TPC-H q1..q22 core plus udaf/udf/udtf/unpivot
+# keys whose newest green is r03) then the 34 oldest r04 greens,
+# alphabetical within each staleness tier. Derived by `python
+# scripts/next_window.py 12` against the on-disk CORRECTNESS_r01..r11
+# evidence at r12 open (r11 came back 50/50 green, so the real
+# derivation equals the r11-close rehearsal verbatim — verified by
+# re-running the script, not by pasting).
+# tests/test_registry_window.py::test_window_equals_policy_output pins
+# this list == policy output; a hand-edit that diverges fails the suite.
+# r13 expectation: next_window.py 13 → the remaining 14 r04 greens plus
+# the 36 oldest r05 greens (re-run the script at the boundary, don't
+# paste — a red r12 key re-enters and displaces rotation slots).
+_WINDOW_ROUND = 12  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    # --- 16 remaining r02-stale keys (latest green r02, 9 rounds old) ---
-    "text_ngram_freq",
-    "text_quality_score",
-    "text_sentiment_lexicon",
-    "text_tfidf",
-    "text_token_counts",
-    "text_token_stats",
-    "win_distribution",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_nav_ignore_nulls",
-    "win_ntile_first_last",
-    "win_range_frame",
-    "win_rank_dense",
-    "win_row_number_topk",
-    "win_running_distinct",
-    "win_running_sum",
-    # --- 34 oldest r03 greens, alphabetical ---
-    "agg_mode_tiebreak",
-    "agg_topk_collect",
-    "dedup_cluster_components",
-    "dedup_fuzzy_edit",
-    "dedup_minhash_signature",
-    "etl_clean_coerce",
-    "etl_merge_cdc",
-    "etl_scd2_intervals",
-    "etl_sessionize_path",
-    "etl_upsert_keyed",
-    "etl_validate_quarantine",
-    "fn_bitwise",
-    "join_bucketed_colocate",
-    "join_salted_skew",
-    "pivot_wide",
-    "sample_hash_repro",
-    "scan_csv_malformed",
-    "scan_merge_schema",
-    "scan_orc_roundtrip",
-    "sink_sorted_clustered",
-    "stream_rollup_cascade",
-    "subq_exists_correlated",
-    "subq_not_in_null_semantics",
-    "subq_scalar",
-    "text_chunk_overlap",
-    "text_normalize_stopwords",
-    "text_tfidf_cosine_docs",
-    "topk_argmax_group",
-    "tpch_q10_returned",
-    "tpch_q13_cust_dist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing",
+    "tpch_q22_idle_balance",
+    "tpch_q3_shipping",
+    "tpch_q4_priority_exists",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_rollup",
+    "udaf_pandas_group",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_python",
+    "unpivot_long",
+    "agg_approx_distinct",
+    "agg_approx_median",
+    "agg_approx_top_k",
+    "agg_cms_estimate",
+    "agg_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "agg_sketch_intersection",
+    "data_split_stratified",
+    "dedup_near_minhash",
+    "doc_length_histogram",
+    "emb_centroid_by_label",
+    "emb_pca_project",
+    "emb_scalar_quantize",
+    "etl_dq_profile",
+    "etl_funnel_stages",
+    "etl_incremental_watermark",
+    "etl_snapshot_diff",
+    "fn_array_set_ops",
+    "fn_collation_group",
+    "fn_variant_shred",
+    "join_asof_nearest",
+    "join_bloom_prune",
+    "join_range_binned",
+    "plan_observe_metrics",
+    "sample_balanced_lang",
+    "sample_source_mix",
+    "scan_python_datasource",
+    "scan_text_lines",
+    "sim_ann_ivf",
+    "sim_ann_rp_lsh",
+    "sql_pipe_syntax",
+    "sql_recursive_cte_chain",
+    "stream_foreachbatch_upsert",
+    "stream_late_data",
 ]
 
 
