@@ -430,6 +430,18 @@ def _rep_lloyd_assign(emb_full: DataFrame, reps: DataFrame) -> DataFrame:
       order; the shared round-to-8dp resynchronizes, exactly as it
       already does between Spark's and DuckDB's orders).
 
+    Residual risk (ADVICE r11, accepted + test-pinned r12): if a
+    per-(cid, pos) mean lands within ~5e-9 of a x.xxxxxxx5 rounding
+    boundary, the weighted and member-wise summation orders can round to
+    different 8dp values and the diverged centroid feeds the second
+    assignment pass. The same risk class already exists between Spark's
+    and DuckDB's summation orders on the ORIGINAL path, has never fired
+    across the sf corpora, and is pinned by oracle-equality tests on
+    uniform 3x clones AND mixed-multiplicity corpora (one dup group /
+    skewed sizes incl. a duplicated seed — test_trainops.py). If it ever
+    fires: switch the update to integer-scaled exact accumulation
+    (round(v*1e8) as bigint sums) on both engines.
+
     reps: (vec_id = group min id, x, grp_n). Returns (vec_id, cid, d2)
     at rep level."""
     krel = emb_full.agg(

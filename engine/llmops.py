@@ -391,7 +391,9 @@ def _side_value(bc, key):
 # broadcast is the driver-side twin of the worker _SIDE_CACHE. Evicted
 # entries are dropped without destroy(): a running plan may still hold the
 # broadcast, and Spark's ContextCleaner reclaims it on GC. Keyed by
-# applicationId so a restarted session never sees a stale handle.
+# applicationId so a restarted session never sees a stale handle; inserts
+# drop entries of other (stopped) applications, mirroring swap_persist,
+# so cycling SparkSessions can't pin dead broadcasts until FIFO eviction.
 _BC_CACHE: dict[tuple, object] = {}
 _BC_CACHE_MAX = 4
 
@@ -422,8 +424,11 @@ def _side_broadcast(spark, sf_dir: str, emb) -> tuple:
     b_ids, b_mat, side_key = _broadcast_side(spark, sf_dir, emb)
     if side_key is None:
         return spark.sparkContext.broadcast((b_ids, b_mat)), None
-    ck = (spark.sparkContext.applicationId, side_key)
+    app = spark.sparkContext.applicationId
+    ck = (app, side_key)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    for k in [k for k in _BC_CACHE if k[0] != app]:
+        _BC_CACHE.pop(k, None)
     if len(_BC_CACHE) >= _BC_CACHE_MAX:
         _BC_CACHE.pop(next(iter(_BC_CACHE)))
     _BC_CACHE[ck] = bc
@@ -740,9 +745,15 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Python UDF, no ml.NGram — keeps it SQL-expressible for the oracle)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("s"))
+    # CASE guard, not greatest(): sequence(1, 0) is [1, 0] (step -1), whose
+    # out-of-range s[] accesses emit null bigrams the oracle's empty
+    # range(1, 1) never produces (r12 short-text fix).
     bigrams = toks.select(
         F.explode(
-            F.expr("transform(sequence(1, greatest(size(s) - 1, 0)), i -> s[i-1] || ' ' || s[i])")
+            F.expr(
+                "CASE WHEN size(s) < 2 THEN cast(array() as array<string>)"
+                " ELSE transform(sequence(1, size(s) - 1), i -> s[i-1] || ' ' || s[i]) END"
+            )
         ).alias("bigram")
     )
     return (

@@ -245,7 +245,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # exact-dup collapse shared machinery (r11 review consolidation)
 # ---------------------------------------------------------------------------
 
-# Probe results memoized per (applicationId, path, mtime_ns, nrows): the
+# Probe results memoized per (applicationId, path, mtime_ns, nrows, col): the
 # probe is a full countDistinct scan, and each collapse-family key
 # (sim_ann_ivf, dedup_semdedup, emb_kmeans_lloyd, dedup_ngram_jaccard) runs
 # it on every invocation otherwise — a bench sweep paid several extra corpus
@@ -278,6 +278,7 @@ def all_rows_distinct(spark: SparkSession, path: str, df: DataFrame, col: str) -
             os.path.abspath(path),
             os.stat(path).st_mtime_ns,
             int(n),
+            str(col),
         )
     except OSError:
         return False

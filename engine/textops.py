@@ -66,9 +66,15 @@ def word_ngram_ids(d: DataFrame, n: int = 3) -> DataFrame:
     ~10x cheaper than on gram strings (the strings only exist inside the
     lambda); collision probability over a corpus-wide gram vocabulary is
     ~|V|²/2⁶⁴ — negligible against any similarity threshold."""
+    # CASE guard, not greatest(): sequence(1, 0) infers step -1 and yields
+    # [1, 0], whose i=0 entry makes slice() throw — a sub-n-gram doc
+    # (empty/short text) must produce an EMPTY gram set, matching the
+    # oracles' range(1, 0) = [] and their NULL 0/0 exclusion (r12 fix,
+    # caught by the subset-dup collapse test).
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(split(text,' '))-{n - 1},0)),"
-        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n})))))"
+        f"CASE WHEN size(split(text,' ')) < {n} THEN cast(array() as array<bigint>)"
+        f" ELSE array_distinct(transform(sequence(1, size(split(text,' '))-{n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n}))))) END"
     )
     return spread_cpu(d).select("doc_id", F.expr(expr).alias("s"))
 
@@ -250,11 +256,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-window count. All JVM-side array expressions — the windows
     array never leaves the row, so memory is O(doc length) per row."""
     d = load(spark, sf_dir, "documents")
+    # CASE guard, not greatest(): sequence(1, 0) is [1, 0] (step -1), which
+    # hashes two phantom windows for a sub-8-char doc; the oracle's
+    # range(1, 1) = [] yields NULL fingerprint + 0 windows instead (r12
+    # short-text fix — array_min(empty) is null on both engines).
     hs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 0) + 1 - 1),"
+        "CASE WHEN length(text) < 8 THEN cast(array() as array<bigint>)"
+        " ELSE transform(sequence(1, length(text) - 7),"
         " i -> aggregate(transform(sequence(0, 7),"
         "   j -> ascii(substring(text, i + j, 1))),"
-        f"  cast(0 as bigint), (acc, c) -> {_POLY}))"
+        f"  cast(0 as bigint), (acc, c) -> {_POLY})) END"
     )
     return d.select(
         "doc_id",

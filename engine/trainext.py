@@ -266,22 +266,21 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic step is expressible in both engines, so the exact signature
     bytes are oracle-checked. Per-row array math only — zero shuffle, zero
     Python; signature width k=4 trades recall for column count and is a
-    constant in both texts. a_i*h < 7.4e6 * 2^31 ~ 1.6e16 stays in int64."""
-    toks = F.split(F.col("text"), " ")
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1), ' ',"
-        "             element_at(split(text, ' '), i + 2)))"
-    )
+    constant in both texts. a_i*h < 7.4e6 * 2^31 ~ 1.6e16 stays in int64.
+
+    Sub-3-token docs produce an EMPTY shingle list, hence NULL signature
+    columns — the oracle's range(1, 1) = [] → list_aggregate(min) = NULL.
+    The CASE guard (not greatest()) avoids sequence(1, 0) = [1, 0], whose
+    i=0 entry makes element_at() throw (r12 short-text fix)."""
     hh = F.expr(
-        "transform(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        "CASE WHEN size(split(text, ' ')) < 3 THEN cast(array() as array<bigint>) ELSE "
+        "transform(transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
         "             element_at(split(text, ' '), i + 1), ' ',"
         "             element_at(split(text, ' '), i + 2))),"
         " s -> aggregate(transform(sequence(1, length(s)),"
         "        j -> ascii(substring(s, j, 1))),"
-        "      cast(0 as bigint), (acc, c) -> (acc * 131 + c) % 2147483647))"
+        "      cast(0 as bigint), (acc, c) -> (acc * 131 + c) % 2147483647)) END"
     )
     d = load(spark, sf_dir, "documents").select("doc_id", hh.alias("hh"))
     return d.select(

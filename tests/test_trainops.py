@@ -304,3 +304,198 @@ def test_kmeans_lloyd_exact_dup_collapse(spark, tmp_path):
         for c, n, i in con.sql(oracles["emb_kmeans_lloyd"]).fetchall()
     }
     assert len(got) > 0 and got == want, f"{got} vs {want}"
+
+
+def _write_mixed_dup_embeddings(spark, out_dir, shape):
+    """Write a MOSTLY-SINGLETON embeddings corpus (ADVICE r11): unlike the
+    uniform 3x clone corpora above, only a handful of rows are duplicated,
+    so the collapse path's weighted centroid update mixes w=1 groups with
+    skewed dup groups — the regime where sum(v*w)/sum(w) vs member-wise
+    FP summation order could diverge before the shared round-to-8dp.
+
+    shape "one_group": vec_id 200 duplicated twice (one group of 3).
+    shape "skewed":    seed vec_id 3 duplicated 4x (group of 5, a seed
+                       position) and vec_id 150 duplicated once (group
+                       of 2) — skewed multiplicities including a dup'd
+                       SEED, whose empty-duplicate position must survive
+                       the update."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    extras = {"one_group": [(200, 2)], "skewed": [(3, 4), (150, 1)]}[shape]
+    dup = base
+    off = 1_000_000
+    for vid, copies in extras:
+        for c in range(copies):
+            dup = dup.unionByName(
+                base.filter(F.col("vec_id") == vid).withColumn(
+                    "vec_id", F.col("vec_id") + (off := off + 1_000_000)
+                )
+            )
+    dup.coalesce(1).write.parquet(str(out_dir / "embeddings.parquet"))
+
+
+@pytest.mark.parametrize("shape", ["one_group", "skewed"])
+def test_kmeans_lloyd_mixed_multiplicity_collapse(spark, tmp_path, shape):
+    """ADVICE r11 (graphops.py:451): the uniform clone tests hold w
+    constant, so they can't catch a weighted-update divergence. Pin
+    oracle equality on mostly-singleton corpora with one dup group and
+    with skewed group sizes (including a duplicated seed)."""
+    import duckdb
+
+    from engine.registry import collect
+
+    _write_mixed_dup_embeddings(spark, tmp_path, shape)
+    queries, oracles = collect()
+    res = queries["emb_kmeans_lloyd"].__wrapped__(spark, str(tmp_path)).collect()
+    got = {r["cluster_id"]: (r["n_members"], round(r["inertia"], 2)) for r in res}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        int(c): (int(n), round(float(i), 2))
+        for c, n, i in con.sql(oracles["emb_kmeans_lloyd"]).fetchall()
+    }
+    assert len(got) > 0 and got == want, f"{shape}: {got} vs {want}"
+
+
+@pytest.mark.parametrize("shape", ["one_group", "skewed"])
+def test_semdedup_mixed_multiplicity_collapse(spark, tmp_path, shape):
+    """ADVICE r11 (graphops.py:451), semdedup edition: a single duplicate
+    flips the whole corpus onto the collapse path, so its output on a
+    nearly-dup-free corpus must still equal the member-level oracle —
+    keeper ids and suppressor counts are integers, so exact equality."""
+    import duckdb
+
+    from engine.registry import collect
+
+    _write_mixed_dup_embeddings(spark, tmp_path, shape)
+    queries, oracles = collect()
+    res = queries["dedup_semdedup"].__wrapped__(spark, str(tmp_path)).collect()
+    got = {
+        r["dropped_vec_id"]: (r["keeper_vec_id"], r["n_suppressors"]) for r in res
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        int(b): (int(k), int(n))
+        for b, k, n in con.sql(oracles["dedup_semdedup"]).fetchall()
+    }
+    assert len(got) > 0 and got == want, (
+        f"{shape}: {len(got)} vs {len(want)} rows; "
+        f"sample got={dict(list(got.items())[:3])} want={dict(list(want.items())[:3])}"
+    )
+
+
+def test_ngram_jaccard_subset_dup_collapse(spark, tmp_path):
+    """ADVICE r11 (textops.py): the uniform clone test duplicates every
+    row, so w=1 groups (skipping the intra branch) and gramless dup
+    groups (the n>0 guard) never occur. Duplicate only doc_ids 0-4
+    (groups of 2, everything else singleton) and inject a duplicated
+    EMPTY text plus a duplicated 2-word text (zero word-3-grams): both
+    gramless groups must emit NO intra pair — matching the oracle's
+    NULL 0/0 exclusion — while the five real dup groups emit jaccard
+    1.0 intra pairs and singleton near-dups are unchanged."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from engine.registry import collect
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pieces = [base]
+    # groups of 2 for doc_ids 0..4 (subset duplication, mostly singleton)
+    pieces.append(
+        base.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    # a duplicated empty text and a duplicated sub-n-gram text: take two
+    # existing rows, rewrite text, and emit each under two fresh ids
+    for txt, ids in (("", (2_000_000, 2_000_001)), ("two words", (3_000_000, 3_000_001))):
+        donor = base.filter(F.col("doc_id") == 10).withColumn("text", F.lit(txt))
+        for i in ids:
+            pieces.append(donor.withColumn("doc_id", F.lit(i).cast("long")))
+    dup = pieces[0]
+    for p in pieces[1:]:
+        dup = dup.unionByName(p)
+    dup.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    queries, oracles = collect()
+    res = queries["dedup_ngram_jaccard"].__wrapped__(spark, str(tmp_path)).collect()
+    got = sorted((r["a_id"], r["b_id"], r["jaccard"]) for r in res)
+
+    # gramless dup groups must not self-pair
+    for a, b, _ in got:
+        assert not (a == 2_000_000 and b == 2_000_001), "empty-text intra pair"
+        assert not (a == 3_000_000 and b == 3_000_001), "sub-ngram intra pair"
+    # the real dup groups must self-pair at 1.0
+    for d in range(5):
+        assert (d, d + 1_000_000, 1.0) in got, f"missing intra pair for doc {d}"
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), float(j))
+        for a, b, j in con.sql(oracles["dedup_ngram_jaccard"]).fetchall()
+    )
+    assert len(got) > 0 and got == want, (
+        f"subset-dup collapse diverged: {len(got)} vs {len(want)} rows; "
+        f"got[:3]={got[:3]} want[:3]={want[:3]}"
+    )
+
+
+@pytest.mark.parametrize(
+    "key", ["text_ngram_freq", "text_fingerprint", "dedup_minhash_signature"]
+)
+def test_short_text_oracle_parity(spark, tmp_path, key):
+    """r12 short-text fix: sequence(1, greatest(..., 0)) yields [1, 0]
+    (step -1) for sub-n docs — crashing slice()/element_at() or hashing
+    phantom windows the oracle's empty range() never produces. Pin oracle
+    equality on a corpus containing empty, 1-word, 2-word, and 7-char
+    docs (all below the respective n-gram/window thresholds)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from engine.registry import collect
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    donor = base.filter(F.col("doc_id") == 10)
+    pieces = [base]
+    for txt, i in (("", 0), ("word", 1), ("two words", 2), ("7chars", 3)):
+        pieces.append(
+            donor.withColumn("text", F.lit(txt)).withColumn(
+                "doc_id", F.lit(9_000_000 + i).cast("long")
+            )
+        )
+    dup = pieces[0]
+    for p in pieces[1:]:
+        dup = dup.unionByName(p)
+    dup.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    queries, oracles = collect()
+    res = queries[key].__wrapped__(spark, str(tmp_path)).collect()
+    cols = res[0].asDict().keys() if res else []
+    got = sorted(tuple(r[c] for c in sorted(cols)) for r in res)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    cur = con.sql(oracles[key])
+    names = sorted(cur.columns)
+    idx = [cur.columns.index(n) for n in names]
+    want = sorted(tuple(row[i] for i in idx) for row in cur.fetchall())
+    assert len(got) > 0 and got == want, (
+        f"{key}: {len(got)} vs {len(want)} rows; got[:2]={got[:2]} want[:2]={want[:2]}"
+    )
