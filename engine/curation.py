@@ -103,27 +103,73 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard packing bookkeeping a tokenizer/dataloader needs (docs may
     straddle a boundary; offset_in_seq is where the doc STARTS).
 
-    Shape: one running-sum window per source partition — no global sort.
-    100 TB: packing is embarrassingly parallel across shards precisely
-    because the layout is per-source (PARTITION BY source); a single global
-    document order would serialize the cumsum. Source shards stream through
-    the window operator with O(1) state (running sum), so executor memory
-    is flat regardless of shard size."""
+    100 TB (r12 rewrite): source cardinality is ~20, so a plain
+    partitionBy(source) running-sum window serializes the corpus into ~20
+    single-threaded sorts — the same parallelism ceiling the r11
+    agg_weighted_percentile rehearsal measured at exponent 0.98. The
+    cumsum instead uses scaleops' two-level range-bucket pattern,
+    EXACTLY: per-source min/max doc_id splits the order domain into 64
+    fixed-width buckets; a bucket-level cumsum over the ~20×64 partial
+    sums (trivial window) yields each bucket's starting offset; the
+    per-row window partitions by (source, bkt) — ~1280-way parallel —
+    and adds the offset. Bucketing is monotone in doc_id, so
+    bucket-major + within-bucket doc_id order IS the per-source order,
+    and n_tokens is integral, so every partial sum is exact regardless
+    of association — cum_before is bit-identical to the single-partition
+    window's. The (doc_id, source, n_tokens, bkt) projection feeds both
+    the bucket-sum agg and the final join: persist it (~40 B/row vs the
+    ~KB text column) so tokenization — the hottest stage — runs once,
+    not twice. The stats scan reads only (doc_id, source): Catalyst
+    prunes the split(text) out of the min/max agg."""
+    from engine.tables import swap_persist
+
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("long")
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    stats = t.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    step = (F.col("mx") - F.col("mn")) / F.lit(64.0)
+    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("doc_id") - F.col("mn")) / step), F.lit(63))
+    )
+    rows = swap_persist(
+        spark,
+        t.join(F.broadcast(stats), "source").select(
+            "doc_id", "source", "n_tokens", bkt.alias("bkt")
+        ),
+        "pack_rows",
+    )
+    bo = Window.partitionBy("source").orderBy("bkt")
+    boff = (
+        rows.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("bw"))
+        .select(
+            "source",
+            "bkt",
+            (
+                F.sum("bw").over(bo.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("bw")
+            ).alias("off"),
+        )
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
-    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    return t.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor(cum / 512).cast("long").alias("seq_id"),
-        (cum % 512).cast("long").alias("offset_in_seq"),
+    cum = (
+        F.col("off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).cast("long")
+    return (
+        rows.join(F.broadcast(boff), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(cum / 512).cast("long").alias("seq_id"),
+            (cum % 512).cast("long").alias("offset_in_seq"),
+        )
     )
 
 
@@ -151,20 +197,50 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicative scheme computed identically in both engines (xxhash64
     has no DuckDB twin).
 
-    Shape: one window per source partition (rank + count in the same pass).
-    100 TB: per-source rank selection is a WindowGroupLimit-class pattern —
-    but with a RATE rather than a constant k the limit isn't known until
-    the partition count is; at scale precompute per-source counts (tiny
-    agg, broadcast back) and filter hk against the rate-quantile instead,
-    which drops the sort entirely."""
+    100 TB (r12 rewrite): source cardinality is ~20, so a plain
+    partitionBy(source) row_number window serializes the corpus into ~20
+    single-threaded sorts. The exact rank instead uses scaleops' two-level
+    range-bucket pattern: per-source min/max hk splits the hash domain
+    into 64 fixed-width buckets; a bucket-level cumulative COUNT over the
+    ~20×64 partials yields each bucket's starting rank; the per-row
+    row_number partitions by (source, bkt) — ~1280-way parallel — and
+    adds the offset. Equal hk values share a bucket (bkt is a function of
+    hk), so bucket-major + within-bucket (hk, doc_id) order IS the
+    per-source order and rn is exactly the single-partition row_number.
+    The per-source counts come from the same tiny broadcast agg as the
+    bucket bounds — the count() window is gone too."""
     d = load(spark, sf_dir, "documents")
     hk = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
-    w = Window.partitionBy("source").orderBy("hk", "doc_id")
-    wc = Window.partitionBy("source")
+    t = d.select("doc_id", "source", hk.alias("hk"))
+    stats = t.groupBy("source").agg(
+        F.min("hk").alias("mn"),
+        F.max("hk").alias("mx"),
+        F.count("*").alias("cnt"),
+    )
+    step = (F.col("mx") - F.col("mn")) / F.lit(64.0)
+    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("hk") - F.col("mn")) / step), F.lit(63))
+    )
+    rows = t.join(F.broadcast(stats), "source").select(
+        "doc_id", "source", "hk", "cnt", bkt.alias("bkt")
+    )
+    bo = Window.partitionBy("source").orderBy("bkt")
+    boff = (
+        rows.groupBy("source", "bkt")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "source",
+            "bkt",
+            (
+                F.sum("bn").over(bo.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("bn")
+            ).alias("off"),
+        )
+    )
+    w = Window.partitionBy("source", "bkt").orderBy("hk", "doc_id")
     return (
-        d.select("doc_id", "source", hk.alias("hk"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(wc))
+        rows.join(F.broadcast(boff), ["source", "bkt"])
+        .withColumn("rn", F.col("off") + F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.col("cnt") * 0.4).cast("long"))
         .select("doc_id", "source")
     )
