@@ -232,32 +232,39 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing rows. Neither percentile() nor percentile_approx() takes
     weights; this window shape is the standard rewrite.
 
-    100 TB (r11 rewrite): l_returnflag has THREE values, so the naive
-    partitionBy(flag) window serializes the whole corpus into three
-    single-threaded sorts — the r11 100× rehearsal measured wall-clock
-    exponent 0.98 (0.9 s → 85 s): linear work with a 3-way parallelism
-    ceiling. The cumulative sum is instead computed with the two-level
-    range-bucket pattern, EXACTLY (buckets add parallelism, not
-    resolution loss): per-flag min/max price splits the price domain into
-    64 fixed-width buckets; a bucket-level cumsum over the 3×64 partial
-    sums (trivial window) yields each bucket's starting offset; the
-    per-row window then partitions by (flag, bucket) — 192-way parallel —
-    and adds the offset. Bucketing is monotone in price, so
-    bucket-major + within-bucket (price, orderkey, linenumber) order IS
-    the global order, and l_quantity is integral (TPC-H 1..50), so every
-    partial sum is exact in f64 regardless of association — cw, tw, and
-    the crossing row are bit-identical to the single-partition window's.
+    100 TB (r11 rewrite, r12 crossing-bucket prune): l_returnflag has
+    THREE values, so the naive partitionBy(flag) window serializes the
+    whole corpus into three single-threaded sorts — the r11 100×
+    rehearsal measured wall-clock exponent 0.98 (0.9 s → 85 s). The r11
+    two-level range-bucket rewrite (256 fixed-width price buckets per
+    flag; bucket-level cumsum over the 3×256 partials yields each
+    bucket's starting offset) got exponent 0.67 — still shuffling and
+    sorting EVERY row through the per-row window. r12 observes that the
+    answer only ever comes from the CROSSING bucket: the minimal bucket
+    b where off_b + bw_b ≥ 0.5·tw contains the crossing row (off_b <
+    0.5·tw by minimality), and every qualifying row in a later bucket
+    has a strictly higher price, so min() ignores it. Rows outside the
+    crossing bucket are filtered BEFORE the shuffle — the per-row window
+    sorts ~1/256 of the corpus, and the full-corpus work is three
+    column-pruned scans (stats; bucket sums; the pruned selection).
+    Bucketing is monotone in price, so within-bucket (price, orderkey,
+    linenumber) order + the bucket offset reproduce the global cumsum,
+    and l_quantity is integral (TPC-H 1..50), so every partial sum is
+    exact in f64 regardless of association — cw, tw, and the crossing
+    row are bit-identical to the single-partition window's.
     """
+    from engine.tables import swap_persist
+
     li = load(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("mn"),
         F.max("l_extendedprice").alias("mx"),
         F.sum("l_quantity").alias("tw"),
     )
-    step = (F.col("mx") - F.col("mn")) / F.lit(64.0)
+    step = (F.col("mx") - F.col("mn")) / F.lit(256.0)
     bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(
-            F.floor((F.col("l_extendedprice") - F.col("mn")) / step), F.lit(63)
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / step), F.lit(255)
         )
     )
     rows = li.join(F.broadcast(stats), "l_returnflag").select(
@@ -270,22 +277,35 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkt.alias("bkt"),
     )
     bo = Window.partitionBy("l_returnflag").orderBy("bkt")
-    boff = (
+    # 3×256 rows; persisted because the crossing filter and the offset
+    # join both read it — without the persist each reference recomputes
+    # the full-corpus bucket aggregation (a whole extra scan).
+    boff = swap_persist(
+        spark,
         rows.groupBy("l_returnflag", "bkt")
-        .agg(F.sum("l_quantity").alias("bw"))
+        .agg(F.sum("l_quantity").alias("bw"), F.first("tw").alias("tw"))
         .select(
             "l_returnflag",
             "bkt",
+            "bw",
+            "tw",
             (
                 F.sum("bw").over(bo.rowsBetween(Window.unboundedPreceding, 0))
                 - F.col("bw")
             ).alias("off"),
-        )
+        ),
+        "wpctl_boff",
+    )
+    crossing = (
+        boff.filter(F.col("off") + F.col("bw") >= 0.5 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bkt").alias("bkt"))
+        .join(boff.select("l_returnflag", "bkt", "off"), ["l_returnflag", "bkt"])
     )
     wspec = Window.partitionBy("l_returnflag", "bkt").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    w = rows.join(F.broadcast(boff), ["l_returnflag", "bkt"]).select(
+    w = rows.join(F.broadcast(crossing), ["l_returnflag", "bkt"]).select(
         "l_returnflag",
         "l_extendedprice",
         (
