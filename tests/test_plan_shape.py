@@ -201,13 +201,17 @@ def test_decontaminate_broadcast_eval_pushed_split(spark):
     assert not any("transform(" in s for s in scans), scans
 
 
-def test_pack_sequences_single_window_no_global_sort(spark):
-    # r03: packing must be one per-source running-sum window — a global
-    # (non-partitioned) sort would serialize the cumsum at scale.
+def test_pack_sequences_bucketed_windows_no_global_sort(spark):
+    # r03: no global (non-partitioned) sort — that would serialize the
+    # cumsum at scale. r12: the per-source window became the two-level
+    # range-bucket pair (bucket-offset cumsum over ~20x64 partials +
+    # per-row window partitioned (source, bkt)); every window partition
+    # spec must include source, and the per-row one must also bucket.
     plan = _plan(spark, "text_pack_sequences")
-    assert plan.count("Window") == 1, plan
-    m = re.search(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
-    assert m and "source" in m.group(1), plan
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert len(specs) == 2, plan
+    assert all("source" in s for s in specs), specs
+    assert any("bkt" in s for s in specs), specs
 
 
 def test_bloom_prune_filter_on_probe_side(spark):
