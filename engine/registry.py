@@ -204,6 +204,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r13 expectation: next_window.py 13 → the remaining 14 r04 greens plus
 # the 36 oldest r05 greens (re-run the script at the boundary, don't
 # paste — a red r12 key re-enters and displaces rotation slots).
+#
+# r13 rehearsal (r12, simulated all-green r12 evidence): the derivation
+# yields the 14 remaining r04 greens (stream_session_30m …
+# win_pattern_match, alphabetical) then the 36 oldest r05 greens
+# (agg_bitmap_distinct … scan_parquet). Paste-from-rehearsal is still
+# wrong if any r12 window key comes back red — re-run the script
+# against the REAL CORRECTNESS_r12.json at the boundary.
 _WINDOW_ROUND = 12  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
