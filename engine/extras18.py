@@ -51,10 +51,12 @@ def sink_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality ones (file-per-value explosion — the small-files
     problem etl_compact_small_files handles)."""
     base = scratch_dir(prefix=f"sg-hivepart-{sftag(sf_dir)}-")
-    load(spark, sf_dir, "events").select(
+    slim = load(spark, sf_dir, "events").select(
         "event_id", "value", "event_type"
-    ).write.mode("overwrite").partitionBy("event_type").parquet(base)
-    back = spark.read.parquet(base)
+    )
+    slim.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    # explicit schema: no inference pass, robust to a zero-row write
+    back = spark.read.schema(slim.schema).parquet(base)
     return (
         back.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")

@@ -60,10 +60,10 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) fact partitioned on the join key, (b) broadcastable dim;
     both are layout decisions this repo's sink keys demonstrate."""
     base = scratch_dir(prefix=f"sg-dpp-{sftag(sf_dir)}-")
-    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
-        "o_orderpriority"
-    ).parquet(base)
-    fact = spark.read.parquet(base)
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+    # explicit schema: no inference pass, robust to a zero-row write
+    fact = spark.read.schema(o.schema).parquet(base)
     dim = spark.createDataFrame(
         [
             ("1-URGENT", "expedite"),

@@ -56,14 +56,17 @@ def etl_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     to file-level deletes; bare parquet makes the mechanics explicit."""
     base = scratch_dir(prefix=f"sg-erase-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    e.withColumn("bucket", F.col("user_id") % 16).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(base)
+    store = e.withColumn("bucket", F.col("user_id") % 16)
+    store.write.mode("overwrite").partitionBy("bucket").parquet(base)
     # Compute the affected buckets FROM the deletion list (no scan needed),
-    # rewrite only those directories.
+    # rewrite only those directories. A bucket with no rows has no
+    # directory — nothing to erase there, skip it (an empty events source
+    # must not crash the erasure job).
     affected = sorted({u % 16 for u in _ERASE_USERS})
     for b in affected:
         part_dir = f"{base}/bucket={b}"
+        if not os.path.isdir(part_dir):
+            continue
         kept = spark.read.parquet(part_dir).filter(
             ~F.col("user_id").isin(_ERASE_USERS)
         )
@@ -73,7 +76,8 @@ def etl_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(part_dir)
         os.rename(tmp, part_dir)
-    back = spark.read.parquet(base)
+    # explicit schema: no inference pass, robust to a zero-row write
+    back = spark.read.schema(store.schema).parquet(base)
     return back.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(

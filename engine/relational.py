@@ -79,8 +79,14 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("l_returnflag")
         .parquet(path)
     )
-    # partition column comes back last; restore canonical order
-    return spark.read.parquet(path).select(*[f.name for f in SCHEMAS["lineitem"].fields])
+    # Explicit schema on read-back: skips the footer-inference pass AND
+    # survives a zero-row write (no data files → nothing to infer from;
+    # partition values still parse from the key=value paths). Also
+    # restores canonical column order (partition column comes back last
+    # under inference).
+    return spark.read.schema(SCHEMAS["lineitem"]).parquet(path).select(
+        *[f.name for f in SCHEMAS["lineitem"].fields]
+    )
 
 
 @query(
@@ -97,7 +103,10 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("l_returnflag")
         .parquet(path)
     )
-    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    # explicit schema: no inference pass, robust to a zero-row write
+    df = spark.read.schema(SCHEMAS["lineitem"]).parquet(path).filter(
+        F.col("l_returnflag") == "R"
+    )
     return df.select(*[f.name for f in SCHEMAS["lineitem"].fields])
 
 

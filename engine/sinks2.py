@@ -61,7 +61,8 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # explicit schema: no inference pass, robust to a zero-row write
+    back = spark.read.schema(o.schema).parquet(path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
