@@ -28,9 +28,9 @@ from engine.tables import load, sftag
 @query(
     "scan_metadata_columns",
     oracle="""
-    SELECT CAST(4 AS BIGINT) AS n_files,
+    SELECT CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 4 END AS BIGINT) AS n_files,
            count(*) AS n_rows,
-           TRUE AS all_sizes_positive,
+           CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS all_sizes_positive,
            TRUE AS paths_distinct_per_file
     FROM events
     """,
@@ -47,7 +47,14 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     this row come from — used for incremental reprocessing (join against
     a bad-file manifest), audit trails, and debugging skewed files. It
     is populated from the scan's own file listing: zero extra IO, and
-    filters on it prune at the FILE level like partition filters."""
+    filters on it prune at the FILE level like partition filters.
+
+    Empty-source semantics (r12): Spark writes no part files for empty
+    partitions, so an empty events table yields 0 files / 0 rows and a
+    vacuous (NULL) min-size flag — the oracle's CASE mirrors exactly
+    that. (A 1-3-row source would write fewer than 4 files and diverge;
+    every corpus SF has thousands of events, so only the empty edge is
+    modeled.)"""
     base = scratch_dir(prefix=f"sg-meta-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").select("event_id", "value").repartition(
         4
@@ -130,6 +137,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_row = li.agg(F.min("l_partkey").alias("s")).first()
+    if src_row["s"] is None:
+        # empty edge table: the oracle's recursive base row is
+        # (min-over-empty = NULL, hop 0) and no expansion joins it —
+        # reproduce that single NULL-source row (r12 empty-corpus
+        # hardening)
+        return spark.createDataFrame([(None, 0)], "node long, hops int")
     visited = spark.createDataFrame([(int(src_row["s"]), 0)], "node long, hops int")
     frontier = visited
     for hop in range(1, 4):

@@ -140,7 +140,7 @@ def dedup_exact_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = grouped.agg(
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_dup_groups"),
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))

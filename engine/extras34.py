@@ -71,6 +71,10 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("x").cast("double")).alias("s"))
     )
     sum_vec_sq = comp.agg(F.sum(F.col("s") * F.col("s")).alias("v")).first()["v"]
+    # empty corpus: the per-dimension sum relation is empty and the sum is
+    # NULL — 0.0 keeps the arithmetic below NULL-propagating exactly like
+    # the oracle's (n=0 makes every downstream ratio NULL on both engines)
+    sum_vec_sq = 0.0 if sum_vec_sq is None else sum_vec_sq
     self_dot = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),

@@ -114,6 +114,10 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # iterated over: one materialization, |nations| rows
     )
     n = float(nodes.count())  # O(1) scalar: number of nations (warms cache)
+    if n == 0:
+        # empty graph: the oracle's nodes CTE is empty, so every rank
+        # relation is too (r12 empty-corpus hardening; avoids 1/0 below)
+        return spark.createDataFrame([], "n_nationkey long, pagerank double")
     ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # cache() the normalized edge relation: without it every iteration (and
     # both sides of the final join) re-runs the 4-join derivation spine —

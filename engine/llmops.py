@@ -485,7 +485,14 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
         # double source must NOT be narrowed — quantizing would break the
         # bit-identity contract with the oracle's f64 dots (r11 review).
         dt = np.float32 if flat.dtype == np.float32 else np.float64
-        b_mat = flat.astype(dt).reshape(len(b_ids), -1)
+        # reshape(0, -1) is a numpy error; an empty side is a valid (0, 0)
+        # matrix — the probe side then has no batches and the kernel
+        # yields no rows (r12 empty-corpus hardening).
+        b_mat = (
+            flat.astype(dt).reshape(len(b_ids), -1)
+            if len(b_ids)
+            else np.zeros((0, 0), dtype=dt)
+        )
         key = (os.path.abspath(path), os.stat(path).st_mtime_ns, int(n))
     except RuntimeError:
         raise
@@ -503,7 +510,11 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
 
         elem = emb.schema["embedding"].dataType.elementType
         dt = np.float32 if isinstance(elem, FloatType) else np.float64
-        b_mat = np.stack(side["embedding"].to_numpy()).astype(dt)
+        b_mat = (
+            np.stack(side["embedding"].to_numpy()).astype(dt)
+            if len(side)
+            else np.zeros((0, 0), dtype=dt)
+        )
         key = None
     return b_ids, b_mat, key
 

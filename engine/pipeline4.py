@@ -88,6 +88,12 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     nlist = max(_NLIST, int(round(math.sqrt(_n / 32)))) if _n is not None else _NLIST
     cents_pdf = emb.orderBy("vec_id").limit(nlist).select("vec_id", "embedding").toPandas()
+    if len(cents_pdf) == 0:
+        # empty corpus: no index to build, no queries to serve — matches
+        # the oracle's empty neighbor list (r12 empty-corpus hardening)
+        return spark.createDataFrame(
+            [], "query_id long, rnk int, neighbor_id long, sim double"
+        )
     c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 

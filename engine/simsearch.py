@@ -214,6 +214,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         reps.orderBy("vec_id").limit(nlist).select("embedding").toPandas()
     )
+    if len(cents) == 0:
+        # empty corpus/shard: no centroids, no candidates, no pairs —
+        # matches the oracle's empty pair list (r12 empty-corpus hardening)
+        return spark.createDataFrame([], "a_id long, b_id long, sim double")
     c_mat = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast(c_mat)
 

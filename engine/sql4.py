@@ -307,6 +307,14 @@ def plan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.agg(F.count(F.lit(1))).collect()  # drive the pass; metrics land in obs
     m = obs.get
+    if m["revenue"] is None:
+        # zero surviving rows: sum/avg observe as NULL (matching the
+        # oracle's aggregates over an empty filter result) and lit_table
+        # refuses bare None — emit the typed-NULL row directly
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS revenue,"
+            " CAST(NULL AS DOUBLE) AS avg_qty"
+        )
     return lit_table(
         spark,
         [[int(m["n_rows"]), float(m["revenue"]), float(m["avg_qty"])]],

@@ -209,7 +209,12 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Footer-only row count: feeds the verify-path broadcast-budget gate.
     _n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    head = emb.select("embedding").first()
+    if head is None:
+        # empty corpus/shard: no hyperplanes to draw, no pairs — matches
+        # the oracle's empty pair list (r12 empty-corpus hardening)
+        return spark.createDataFrame([], "a_id long, b_id long, sim double")
+    dim = len(head[0])
     # Dup probe: ONE cheap job (hashes shuffle as int64s, never the
     # arrays) decides whether the collapse prestage is worth its ~5 extra
     # stages. countDistinct(hash) == footer rows ⇒ provably dup-free
@@ -523,6 +528,12 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(gram, "n double, xsum array<double>, gram array<double>")
         .collect()  # bounded: one (1 + d + d²)-float row PER PARTITION
     )
+    if not parts:
+        # empty corpus/shard: no Gram blocks, no fit (callers check
+        # _PCA_FITS), no projections (r12 empty-corpus hardening)
+        return spark.createDataFrame(
+            [], "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double"
+        )
     n = sum(r["n"] for r in parts)
     xsum = np.sum([np.array(r["xsum"]) for r in parts], axis=0)
     g = np.sum([np.array(r["gram"]) for r in parts], axis=0)
@@ -599,7 +610,15 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     proj = pca_project_vectors(spark, sf_dir)
-    fit = _PCA_FITS[sf_dir]
+    fit = _PCA_FITS.get(sf_dir)
+    if fit is None:
+        # empty corpus: every invariant holds vacuously over zero vectors —
+        # the oracle's global aggregate emits exactly this one row
+        return spark.createDataFrame(
+            [(0, 0, True, True, True)],
+            "n_vectors bigint, bessel_violations bigint, orth_ok boolean,"
+            " var_desc_ok boolean, explained_ok boolean",
+        )
     emb = load(spark, sf_dir, "embeddings")
     mu = F.array(*[F.lit(float(m)) for m in fit["mean"]])
     centered_energy = F.aggregate(

@@ -39,7 +39,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(col):
             df[c] = col.astype("Int64").astype(str)
         else:
-            df[c] = col.map(lambda x: "\0" if x is None or x is pd.NA else str(x))
+            # NULL in an object column arrives as None from Spark but as
+            # float NaN from DuckDB's .df() (nullable BOOLEAN) — both are
+            # SQL NULL; map them to the same sentinel.
+            df[c] = col.map(
+                lambda x: "\0"
+                if x is None or x is pd.NA or (isinstance(x, float) and x != x)
+                else str(x)
+            )
     return df
 
 
