@@ -455,9 +455,12 @@ def agg_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(top.alias("_top"), F.count(F.lit(1)).alias("n_orders"))
         .select(
             "o_orderpriority",
-            F.element_at("_top", 1).alias("top1"),
-            F.element_at("_top", 2).alias("top2"),
-            F.element_at("_top", 3).alias("top3"),
+            # try_element_at: a group smaller than k yields NULL slots
+            # (the oracle's out-of-range list index), not an ANSI
+            # INVALID_ARRAY_INDEX error
+            F.try_element_at("_top", F.lit(1)).alias("top1"),
+            F.try_element_at("_top", F.lit(2)).alias("top2"),
+            F.try_element_at("_top", F.lit(3)).alias("top3"),
             "n_orders",
         )
     )

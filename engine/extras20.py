@@ -28,7 +28,7 @@ from engine.tables import load, sftag
 @query(
     "scan_metadata_columns",
     oracle="""
-    SELECT CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 4 END AS BIGINT) AS n_files,
+    SELECT CAST(least(4, count(*)) AS BIGINT) AS n_files,
            count(*) AS n_rows,
            CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS all_sizes_positive,
            TRUE AS paths_distinct_per_file
@@ -49,12 +49,11 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     is populated from the scan's own file listing: zero extra IO, and
     filters on it prune at the FILE level like partition filters.
 
-    Empty-source semantics (r12): Spark writes no part files for empty
-    partitions, so an empty events table yields 0 files / 0 rows and a
-    vacuous (NULL) min-size flag — the oracle's CASE mirrors exactly
-    that. (A 1-3-row source would write fewer than 4 files and diverge;
-    every corpus SF has thousands of events, so only the empty edge is
-    modeled.)"""
+    Degenerate-source semantics (r12): Spark writes no part files for
+    empty partitions, so an n-row source yields min(n, 4) files (round-
+    robin repartition spreads n < 4 rows over n distinct partitions) and
+    an empty one yields a vacuous (NULL) min-size flag — the oracle's
+    least(4, count(*)) + CASE mirror exactly that."""
     base = scratch_dir(prefix=f"sg-meta-{sftag(sf_dir)}-")
     load(spark, sf_dir, "events").select("event_id", "value").repartition(
         4

@@ -210,7 +210,9 @@ def agg_rate_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("buys").alias("b"), F.sum("views").alias("v")
     )
     joined = seg.crossJoin(F.broadcast(prior))  # 1-row global prior
-    g_rate = F.col("b") / F.col("v").cast("double")
+    # nullif: a zero-view corpus slice must smooth to NULL (the oracle's
+    # p.b / 0.0 is NULL in DuckDB), not crash under ANSI division
+    g_rate = F.col("b") / F.nullif(F.col("v").cast("double"), F.lit(0.0))
     return joined.select(
         "segment",
         "views",

@@ -83,18 +83,19 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = e.agg(
         F.count(F.lit(1)).alias("n"), F.sum(self_dot).alias("sum_sq")
     )
+    # nullif: at n <= 1 there are no pairs — the mean pairwise cosine is
+    # NULL on both engines (the oracle's x / 0.0 is NULL in DuckDB), not
+    # an ANSI divide-by-zero error
+    pairs = F.nullif(F.col("n") * (F.col("n") - 1.0), F.lit(0.0))
     return norms.select(
         F.col("n").cast("long").alias("n_vectors"),
         F.round(F.col("sum_sq") / F.col("n"), 4).alias("mean_sq_norm"),
         F.round(
-            (F.lit(float(sum_vec_sq)) - F.col("sum_sq"))
-            / (F.col("n") * (F.col("n") - 1.0)),
+            (F.lit(float(sum_vec_sq)) - F.col("sum_sq")) / pairs,
             4,
         ).alias("mean_pairwise_cos"),
         (
-            (F.lit(float(sum_vec_sq)) - F.col("sum_sq"))
-            / (F.col("n") * (F.col("n") - 1.0))
-            > 0.05
+            (F.lit(float(sum_vec_sq)) - F.col("sum_sq")) / pairs > 0.05
         ).alias("anisotropic"),
     )
 

@@ -66,8 +66,11 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
     )
     mean = F.col("s1") / F.col("n")
-    z = (F.col("cnt") - mean) / F.sqrt(
-        F.col("s2") / F.col("n") - mean * mean
+    # nullif: a single-hour type has zero variance — its z is NULL on
+    # both engines (the oracle's x / 0.0 is NULL in DuckDB) and the
+    # |z| > 2 cut drops it, instead of an ANSI divide-by-zero error
+    z = (F.col("cnt") - mean) / F.nullif(
+        F.sqrt(F.col("s2") / F.col("n") - mean * mean), F.lit(0.0)
     )
     return (
         h.join(F.broadcast(s), "event_type")

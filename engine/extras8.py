@@ -119,7 +119,7 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the parser here) is what keeps it one-pass; value discovery would
     need an extra distinct job."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pivot_src")
-    return spark.sql(
+    p = spark.sql(
         """
         SELECT * FROM (
           SELECT o_orderpriority AS prio, o_orderstatus AS st, o_totalprice
@@ -130,6 +130,15 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
           FOR st IN ('O' AS open, 'F' AS fin, 'P' AS part)
         )
         """
+    )
+    # Spark's PIVOT emits NULL for a cell with no input rows — even for
+    # count — where the oracle's FILTERed count is 0; coalesce the count
+    # columns so a priority missing a status matches (r12, 1-row sweep)
+    return p.select(
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c) if c.endswith("_cnt") else F.col(c)
+            for c in p.columns
+        ]
     )
 
 

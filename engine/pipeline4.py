@@ -111,12 +111,15 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             v_ids = pb["vec_id"].to_numpy()
             mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
             top = np.argsort(-(mat @ c.T), axis=1)[:, :_NPROBE]
+            # fewer centroids than nprobe (tiny corpus/shard): the probe
+            # width is whatever argsort produced, not the nominal nprobe
+            p = top.shape[1]
             n = len(v_ids)
-            rep = np.repeat(np.arange(n), _NPROBE)
+            rep = np.repeat(np.arange(n), p)
             yield pd.DataFrame(
                 {
                     "cluster": top.ravel().astype("int32"),
-                    "vec_id": np.repeat(v_ids, _NPROBE),
+                    "vec_id": np.repeat(v_ids, p),
                     "embedding": [pb["embedding"].iloc[i] for i in rep],
                 }
             )

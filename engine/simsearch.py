@@ -228,12 +228,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.stack(pb["embedding"].to_numpy()).astype(np.float64)
             sims = mat @ c.T
             top = np.argsort(-sims, axis=1)[:, :nprobe]
+            # fewer centroids than nprobe (tiny corpus/shard): the probe
+            # width is whatever argsort produced, not the nominal nprobe
+            p = top.shape[1]
             n = len(v_ids)
             yield pd.DataFrame(
                 {
                     "cluster": top.ravel(),
-                    "vec_id": np.repeat(v_ids, nprobe),
-                    "embedding": [pb["embedding"].iloc[i] for i in np.repeat(np.arange(n), nprobe)],
+                    "vec_id": np.repeat(v_ids, p),
+                    "embedding": [pb["embedding"].iloc[i] for i in np.repeat(np.arange(n), p)],
                 }
             )
 

@@ -54,9 +54,16 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).select("vec_id", (F.col("pos") + 1).cast("bigint").alias("pos"), F.col("col").alias("v"))
     mm = u.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    # nullif: a constant dimension (mx == mn, e.g. a 1-row shard) has a
+    # NULL ratio on both engines — least() skips the NULL and saturates
+    # to 255, matching DuckDB, instead of an ANSI divide-by-zero error
     qv = F.least(
         F.lit(255),
-        F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+        F.floor(
+            (F.col("v") - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+            * 256
+        ),
     ).cast("bigint")
     return (
         u.filter(F.col("vec_id") < 500)
@@ -634,7 +641,12 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = np.array(fit["evals_top"])
     var_desc_ok = bool(np.all(ev[:-1] >= ev[1:] - 1e-12))
     orth_ok = fit["orth_err"] < 1e-9
-    explained_ok = float(ev.sum()) / fit["trace"] >= 0.05
+    # a zero-variance corpus (single vector / all-identical) has trace 0:
+    # the explained-variance floor holds vacuously rather than dividing
+    # by zero
+    explained_ok = (
+        fit["trace"] == 0 or float(ev.sum()) / fit["trace"] >= 0.05
+    )
     return viol.select(
         "n_vectors",
         "bessel_violations",

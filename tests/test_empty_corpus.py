@@ -80,3 +80,52 @@ def test_empty_corpus_oracle_parity(spark, empty_dir, empty_duck, key):
     sp = fn(spark, empty_dir).toPandas()
     du = empty_duck.sql(oracles[key]).df()
     assert_frames_match(sp, du, key)
+
+
+# keys the r12 ONE-ROW sweep crashed or diverged (a single-row table /
+# zero-variance group / sub-k collect group is routine inside any filtered
+# shard at scale) — plus the ANSI discovery: the session runs Spark 4's
+# ANSI mode, so x/0 on a degenerate group KILLS the job instead of
+# emitting NULL. Each fix reproduces the oracle's NULL/saturation
+# semantics (DuckDB's x/0 is NULL; least() skips NULLs).
+ONE_ROW_KEYS = [
+    "agg_rate_smoothing",       # zero-view prior: b/0 -> NULL smoothing
+    "agg_topk_collect",         # sub-k group: try_element_at NULL slots
+    "emb_isotropy_audit",       # n=1: no pairs, NULL mean cosine
+    "emb_pca_project",          # zero-variance corpus: trace 0 guard
+    "emb_scalar_quantize",      # constant dim: mx==mn saturates to 255
+    "win_anomaly_zscore",       # zero-variance type: z NULL, row dropped
+    "sql_pivot_clause",         # missing pivot cell: count 0, not NULL
+    "scan_metadata_columns",    # n<4 rows -> n files (least(4, n) oracle)
+    "sim_ann_ivf",              # 1 centroid < nprobe: probe width clamps
+    "pipeline_ann_index_build", # same clamp in the build/serve kernels
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sg_one")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tb.slice(0, 1), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def one_row_duck(one_row_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{one_row_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", ONE_ROW_KEYS)
+def test_one_row_corpus_oracle_parity(spark, one_row_dir, one_row_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, one_row_dir).toPandas()
+    du = one_row_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
