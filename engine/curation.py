@@ -143,7 +143,10 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bo = Window.partitionBy("source").orderBy("bkt")
     boff = (
         rows.groupBy("source", "bkt")
-        .agg(F.sum("n_tokens").alias("bw"))
+        # coalesce: a bucket whose docs ALL have NULL token counts (NULL
+        # texts) sums to NULL, which would poison every later bucket's
+        # offset — the single-window oracle shape just skips NULLs (r12)
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("bw"))
         .select(
             "source",
             "bkt",

@@ -52,7 +52,14 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), count-distinct on source collapses map-side via partial
     distinct aggregation."""
     d = load(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16)))
+    # concat_ws SKIPS null args (md5('') for NULL text) where the oracle's
+    # array_to_string(NULL) is NULL — null-propagate explicitly so NULL
+    # texts group under fp NULL on both engines (r12 NULL-text hardening)
+    fp = F.md5(
+        F.when(
+            F.col("text").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16)))
+    )
     return (
         d.groupBy(fp.alias("fp"))
         .agg(

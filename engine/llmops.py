@@ -169,11 +169,17 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     # cheaper than 5-char string arrays (measured 37 s -> ~5 s at sf0.1).
     # spread_cpu parallelizes past the 1-split scan; explode_nonempty keeps
     # the transform from being duplicated into a pushed-down size()>0 filter.
+    # NULL text gets an EMPTY shingle set: Spark's xxhash64(NULL) returns
+    # the seed constant (not NULL), so without the guard every NULL doc
+    # shares one shingle and they all pair as near-dups — where the
+    # oracles' hash-of-NULL is NULL and the gram equi-join drops them
+    # (r12 NULL-text hardening).
     sh0 = spread_cpu(d).select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
-            " i -> xxhash64(substring(text, i, 5))))"
+            "CASE WHEN text IS NULL THEN cast(array() as array<bigint>)"
+            " ELSE array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> xxhash64(substring(text, i, 5)))) END"
         ).alias("hs0"),
     )
     # h: h0 folded into [0, p) so the permutations (a*h+b) % p never

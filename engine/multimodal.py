@@ -112,8 +112,13 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches):
         for pb in batches:
+            # a NULL payload (NULL source text / failed fetch) decodes to
+            # NULL metadata + NULL features — the downstream byte_sum
+            # arithmetic NULL-propagates exactly like the oracle's (r12)
             feats = [
-                ",".join(f"{v:.4f}" for v in _decode_fake(buf, THUMB * THUMB))
+                None
+                if buf is None
+                else ",".join(f"{v:.4f}" for v in _decode_fake(buf, THUMB * THUMB))
                 for buf in pb["payload"]
             ]
             yield pd.DataFrame(
@@ -121,7 +126,9 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pb["doc_id"],
                     "width": THUMB,
                     "height": THUMB,
-                    "n_bytes": [len(buf) for buf in pb["payload"]],
+                    "n_bytes": [
+                        None if buf is None else len(buf) for buf in pb["payload"]
+                    ],
                     "features": feats,
                 }
             )

@@ -223,9 +223,17 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     tab = F.instr(F.col("value"), "\t")
+    # A NULL text writes as a tab-less line (concat_ws skips nulls), so a
+    # missing tab parses back to (doc_id, NULL) — NULL survives the text
+    # round-trip, and '' (which writes "id\t") stays distinct (r12).
     return lines.select(
-        F.substring(F.col("value"), F.lit(1), tab - 1).cast("long").alias("doc_id"),
-        F.col("value").substr(tab + 1, F.length("value")).alias("text"),
+        F.when(tab == 0, F.col("value"))
+        .otherwise(F.substring(F.col("value"), F.lit(1), tab - 1))
+        .cast("long")
+        .alias("doc_id"),
+        F.when(tab == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("value").substr(tab + 1, F.length("value")))
+        .alias("text"),
     )
 
 

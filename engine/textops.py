@@ -261,7 +261,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range(1, 1) = [] yields NULL fingerprint + 0 windows instead (r12
     # short-text fix — array_min(empty) is null on both engines).
     hs = F.expr(
-        "CASE WHEN length(text) < 8 THEN cast(array() as array<bigint>)"
+        "CASE WHEN text IS NULL OR length(text) < 8 THEN cast(array() as array<bigint>)"
         " ELSE transform(sequence(1, length(text) - 7),"
         " i -> aggregate(transform(sequence(0, 7),"
         "   j -> ascii(substring(text, i + j, 1))),"

@@ -132,6 +132,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, token string, pos int")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL text: no tokens, like unnest(NULL)
+                return
             for i, tok in enumerate(text.split(" ")):
                 yield doc_id, tok, i + 1
 

@@ -106,11 +106,14 @@ def udf_mapinpandas_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def counts(batches):
         for pdf in batches:
+            # .str accessors NULL-propagate (NaN), matching the oracle's
+            # len(string_split(NULL)) = NULL; nullable Int64 keeps the
+            # Arrow bigint schema (r12 NULL-text hardening)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tok": pdf["text"].str.split(" ").map(len).astype("int64"),
-                    "n_chars_measured": pdf["text"].str.len().astype("int64"),
+                    "n_tok": pdf["text"].str.split(" ").str.len().astype("Int64"),
+                    "n_chars_measured": pdf["text"].str.len().astype("Int64"),
                 }
             )
 

@@ -129,3 +129,65 @@ def test_one_row_corpus_oracle_parity(spark, one_row_dir, one_row_duck, key):
     sp = fn(spark, one_row_dir).toPandas()
     du = one_row_duck.sql(oracles[key]).df()
     assert_frames_match(sp, du, key)
+
+
+# keys the r12 NULL-TEXT sweep crashed or diverged (NULL text/lang rows are
+# the routine ingestion-corruption shape). Two asymmetry classes: Python
+# kernels receiving None (mapInPandas/UDTF/fake decode), and Spark
+# expressions that DON'T null-propagate where the oracle's do —
+# concat_ws skips NULL args, xxhash64(NULL) returns the seed constant
+# (so NULL docs all shared one shingle and paired as near-dups), and
+# greatest() skips NULLs into a live sequence().
+NULL_TEXT_KEYS = [
+    "dedup_cross_source",        # fp md5(NULL) now NULL, groups NULL texts
+    "dedup_near_minhash",        # NULL doc -> empty shingle set, no pairs
+    "dedup_pair_explain",        # same shingle kernel
+    "multimodal_decode_pipeline",  # NULL payload -> NULL meta + features
+    "scan_text_lines",           # NULL survives the text-file round-trip
+    "text_fingerprint",          # NULL text -> no windows
+    "text_pack_sequences",       # all-NULL bucket sums coalesce to 0
+    "udf_mapinpandas_stream",    # pandas .str NULL-propagation
+    "udtf_python",               # eval(None) yields no tokens
+]
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = tmp_path_factory.mktemp("sg_nulls")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            mask = pc.is_in(tb.column("doc_id"), value_set=pa.array([7, 8, 9]))
+            cols = {}
+            for name in tb.column_names:
+                col = tb.column(name)
+                if name in ("text", "lang"):
+                    cols[name] = pc.if_else(mask, pa.nulls(len(tb), col.type), col)
+                else:
+                    cols[name] = col
+            tb = pa.table(cols)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def null_text_duck(null_text_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{null_text_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NULL_TEXT_KEYS)
+def test_null_text_corpus_oracle_parity(spark, null_text_dir, null_text_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, null_text_dir).toPandas()
+    du = null_text_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
