@@ -214,7 +214,9 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixes the summation order left-to-right, matching the oracle's
     ordinality-ordered sum. Distance preservation (the JL guarantee) is
     audited in the named test on sampled pairs."""
-    e = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    e = vectors(spark, sf_dir)
     proj = F.expr(
         f"""
         transform(sequence(0, {_JL_K} - 1), k ->

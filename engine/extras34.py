@@ -28,13 +28,14 @@ from engine.tables import load
     WITH comp AS (
       SELECT t.j, sum(CAST(embedding[CAST(t.j + 1 AS INT)] AS DOUBLE)) AS s
       FROM embeddings, UNNEST(range(0, len(embedding))) AS t(j)
+      WHERE embedding IS NOT NULL
       GROUP BY t.j
     ),
     norms AS (
       SELECT count(*) AS n,
              sum(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS sum_sq
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     agg AS (
       SELECT (SELECT sum(s * s) FROM comp) AS sum_vec_sq,
@@ -64,7 +65,9 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: this identity is WHY the audit is free at scale — the mean
     of a quadratic-size pair set from linear-time sums; the centering
     fix it motivates (subtract μ) is emb_pca_project's first step."""
-    e = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    e = vectors(spark, sf_dir)
     comp = (
         e.select(F.posexplode("embedding").alias("j", "x"))
         .groupBy("j")

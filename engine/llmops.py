@@ -482,6 +482,10 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
                 "(engine.simsearch.sim_ann_ivf) for candidate generation"
             )
         t = pq.read_table(path, columns=["vec_id", "embedding"])
+        # vector-family contract (engine.tables.vectors): NULL vectors are
+        # dropped — flatten() silently skips null lists, so without this
+        # the reshape misaligns ids against vectors (r12)
+        t = t.drop_null()
         b_ids = t.column("vec_id").to_numpy()
         flat = t.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
@@ -510,7 +514,11 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
                 f"{_MAX_BROADCAST_VECTORS}; use the bucketed IVF/LSH path "
                 "(engine.simsearch.sim_ann_ivf) for candidate generation"
             )
-        side = emb.select("vec_id", "embedding").toPandas()
+        side = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
         b_ids = side["vec_id"].to_numpy()
         from pyspark.sql.types import FloatType
 
@@ -544,6 +552,7 @@ def _dot(a, b):  # JVM-side higher-order dot product, float→double first
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )
@@ -654,7 +663,9 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label, sim FROM (
       SELECT e.vec_id, e.label,
              round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS sim
-      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
+           (SELECT embedding FROM embeddings
+            WHERE vec_id = 0 AND embedding IS NOT NULL) p
       WHERE e.vec_id <> 0
     ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
@@ -663,7 +674,9 @@ def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN of one probe vector (vec_id=0): broadcast the single probe row,
     JVM-side dot, top-k heap. The probe side is O(1) — this shape scales to
     any corpus size with zero shuffle (scan + local top-k + driver merge)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
     return (
         emb.filter(F.col("vec_id") != 0)

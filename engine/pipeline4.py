@@ -43,6 +43,7 @@ _NPROBE = 3
              round(list_dot_product(q.embedding::DOUBLE[],
                                     e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      WHERE e.embedding IS NOT NULL
     ),
     ranked AS (
       SELECT query_id, neighbor_id, sim,
@@ -74,7 +75,9 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     # nlist scales ~sqrt(n) from footer stats (r06, same pattern and
     # rationale as sim_ann_ivf — the floor keeps every driver/test SF at
     # exactly _NLIST=8, so stored-index oracle results are unchanged);

@@ -42,8 +42,9 @@ from engine.tables import load
       SELECT e.vec_id AS doc_id,
              round(list_dot_product(e.embedding::DOUBLE[],
                                     p.embedding::DOUBLE[]), 4) AS sim
-      FROM embeddings e,
-           (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
+           (SELECT embedding FROM embeddings
+            WHERE vec_id = 0 AND embedding IS NOT NULL) p
       WHERE e.vec_id <> 0
     ),
     vecrank AS (
@@ -79,8 +80,10 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF only needs ranks, never raw scores."""
     from engine.llmops import _dot
 
+    from engine.tables import vectors
+
     d = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     qterms = F.expr(
         "size(filter(split(text, ' '), x -> x = 'table' OR x = 'join' OR x = 'spark'))"
     )

@@ -36,7 +36,8 @@ _COS_THRESH = 0.4  # corpus max pair-sim is 0.51; 0.4 keeps a small stable set
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_THRESH}
+    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_THRESH}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,6 +125,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )
@@ -182,7 +184,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.tables import all_rows_distinct, parquet_num_rows, swap_persist
 
     _n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     # r09 dup probe (see docstring), r11: shared memoized helper —
     # int64 hashes shuffle, never arrays; cached per (session, corpus).
     has_dups = not all_rows_distinct(

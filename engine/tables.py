@@ -145,6 +145,17 @@ def sftag(sf_dir: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
 
 
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with NULL vectors dropped — the vector-family contract
+    (r12): vector math ignores NULL embeddings the way SQL aggregates
+    ignore NULL scalars. A NULL vector (left-join enrichment miss, failed
+    inference) must not crash a kernel (np.stack shape error), silently
+    pair with other NULLs, or crash the oracle's list_inner_product; keys
+    under this contract carry `WHERE embedding IS NOT NULL` in their
+    oracles too. A no-op filter on corpora without NULLs."""
+    return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def lit_table(spark: SparkSession, rows: list, cols: list[str]) -> DataFrame:
     """Small literal lookup table (lexicons, profiles) as a pure-JVM VALUES
     relation.

@@ -140,6 +140,7 @@ def etl_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )
@@ -215,7 +216,9 @@ def sim_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Footer-only row count: feeds the verify-path broadcast-budget gate.
     _n_vec = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     head = emb.select("embedding").first()
     if head is None:
         # empty corpus/shard: no hyperplanes to draw, no pairs — matches
@@ -506,7 +509,9 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     n_comp = 4
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
 
     def gram(batches):
         s = None
@@ -604,7 +609,7 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_vectors,
            CAST(0 AS BIGINT) AS bessel_violations,
            TRUE AS orth_ok, TRUE AS var_desc_ok, TRUE AS explained_ok
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
 )
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +667,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT label,
                       sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[])) AS nrm
-               FROM embeddings)
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT label, count(*) AS n_vectors,
            round(min(nrm), 6) AS min_norm,
            round(max(nrm), 6) AS max_norm,
@@ -682,7 +687,9 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one map + one agg, partial combine applies; output is
     O(|labels|)."""
-    e = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    e = vectors(spark, sf_dir)
     x = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(
         F.aggregate(

@@ -191,3 +191,86 @@ def test_null_text_corpus_oracle_parity(spark, null_text_dir, null_text_duck, ke
     sp = fn(spark, null_text_dir).toPandas()
     du = null_text_duck.sql(oracles[key]).df()
     assert_frames_match(sp, du, key)
+
+
+# keys the r12 NULL-EMBEDDING sweep crashed or diverged (a left-join
+# enrichment miss / failed inference produces NULL vectors). The contract
+# (engine.tables.vectors + `embedding IS NOT NULL` in the oracles): vector
+# math ignores NULL embeddings the way SQL aggregates ignore NULL scalars.
+# Notable crash class: pyarrow's flatten() silently DROPS null lists, so
+# the np reshape misaligned ids against vectors before raising.
+NULL_EMB_KEYS = [
+    "dedup_embedding_cosine",
+    "emb_isotropy_audit",
+    "emb_norm_profile",
+    "emb_pca_project",
+    "emb_random_projection_jl",
+    "sim_ann_ivf",
+    "sim_ann_rp_lsh",
+    "sim_hybrid_rrf_fusion",
+    "sim_knn_query",
+    "sim_topk_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def null_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = tmp_path_factory.mktemp("sg_nullemb")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "embeddings":
+            mask = pc.is_in(tb.column("vec_id"), value_set=pa.array([7, 8, 9]))
+            cols = {
+                n: (
+                    pc.if_else(mask, pa.nulls(len(tb), tb.column(n).type), tb.column(n))
+                    if n == "embedding"
+                    else tb.column(n)
+                )
+                for n in tb.column_names
+            }
+            tb = pa.table(cols)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def null_emb_duck(null_emb_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{null_emb_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NULL_EMB_KEYS)
+def test_null_emb_corpus_oracle_parity(spark, null_emb_dir, null_emb_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, null_emb_dir).toPandas()
+    du = null_emb_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
+
+
+def test_null_emb_ann_index_build_no_crash(spark, null_emb_dir):
+    """pipeline_ann_index_build is excluded from oracle parity on this
+    corpus BY DESIGN: its FULL oracle relies on the IVF serve path's
+    recall being exactly 1.0 on the UNMODIFIED corpus (fixed centroids +
+    clustered data); removing 3 vectors shifts cluster membership and a
+    true neighbor can land in an unprobed cluster. The r12 fix under test
+    is the crash (ids misaligned against a null-dropping flatten) — the
+    build/serve must now run and return the full 5x5 result."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    fn = getattr(
+        queries["pipeline_ann_index_build"],
+        "__wrapped__",
+        queries["pipeline_ann_index_build"],
+    )
+    rows = fn(spark, null_emb_dir).collect()
+    assert len(rows) == 25 and all(r["sim"] is not None for r in rows)
