@@ -180,12 +180,18 @@ def etl_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_lateral_view",
+    # the UNION ALL branch states OUTER's contract: a NULL token array
+    # still emits one (NULL, NULL) row — DuckDB's unnest(NULL) emits
+    # nothing, so the oracle adds the row explicitly (r12 NULL-text parity)
     oracle="""
     SELECT doc_id,
            CAST(generate_subscripts(string_split(text, ' '), 1) - 1
                 AS INT) AS pos,
            unnest(string_split(text, ' ')) AS tok
-    FROM documents WHERE doc_id % 25 = 0
+    FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM documents WHERE doc_id % 25 = 0 AND text IS NULL
     """,
 )
 def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,9 +267,13 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     locale-dependent classes (\\w, \\b) are used, per §5.3."""
     d = load(spark, sf_dir, "documents")
     matches = F.regexp_extract_all("text", F.lit("b[a-z]+"), 0)
+    # coalesce mirrors the oracle's: a NULL text has a NULL match list,
+    # and first5 renders as '' on both engines (r12 NULL-text parity)
     return d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id",
-        F.array_join(F.slice(matches, 1, 5), ",").alias("first5"),
+        F.coalesce(F.array_join(F.slice(matches, 1, 5), ","), F.lit("")).alias(
+            "first5"
+        ),
         F.size(matches).cast("int").alias("n_matches"),
     )
 

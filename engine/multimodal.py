@@ -225,10 +225,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal_decode_pipeline has that half)."""
     d = load(spark, sf_dir, "documents")
     n_frames = F.floor(F.length("text") / 16)
+    # when-guard: a sub-16-byte payload has no frames — sequence(0, -1, 4)
+    # is an "illegal boundaries" ERROR in Spark (explicit step), where the
+    # oracle's generate_series(0, -1, 4) is just empty (r12 short-payload
+    # hardening); NULL payloads already explode to nothing on both engines
     d = d.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(4))).alias("s"),
+        F.explode(
+            F.when(
+                n_frames >= 1,
+                F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(4)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("s"),
     )
     return d.select(
         "doc_id",

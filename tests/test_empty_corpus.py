@@ -256,6 +256,105 @@ def test_null_emb_corpus_oracle_parity(spark, null_emb_dir, null_emb_duck, key):
     assert_frames_match(sp, du, key)
 
 
+# the COMBINATION corpus (r12): dup groups + NULL text/lang + NULL
+# embeddings + a duplicated NULL-text group + a duplicated sub-n-gram
+# group, all at once — the interaction regime (collapse paths meeting
+# NULLs) none of the single-axis fixtures exercise. The full 364-key
+# sweep at r12 found three interaction bugs pinned here: array_join of a
+# NULL match list ('' on DuckDB via coalesce), sequence(0, -1, 4) being
+# an ERROR where generate_series is empty (sub-frame payloads), and
+# LATERAL VIEW OUTER emitting a (NULL, NULL) row for NULL token arrays
+# where unnest(NULL) emits nothing.
+COMBO_KEYS = [
+    "fn_regexp_extract_all",
+    "multimodal_frame_sample",
+    "sql_lateral_view",
+    # dup-collapse x NULL interaction pins (passed the sweep; keep green)
+    "dedup_ngram_jaccard",
+    "dedup_semdedup",
+    "emb_kmeans_lloyd",
+    "sim_ann_ivf",
+    "dedup_cross_source",
+]
+
+
+@pytest.fixture(scope="module")
+def combo_dir(tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = tmp_path_factory.mktemp("sg_combo")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            mask = pc.is_in(tb.column("doc_id"), value_set=pa.array([7, 8, 9]))
+            cols = {
+                n: (
+                    pc.if_else(mask, pa.nulls(len(tb), tb.column(n).type), tb.column(n))
+                    if n in ("text", "lang")
+                    else tb.column(n)
+                )
+                for n in tb.column_names
+            }
+            df = pa.table(cols).to_pandas()
+            extra = df[df.doc_id < 5].copy()
+            extra["doc_id"] += 1_000_000
+            nulldup = df[df.doc_id == 7]
+            nd2 = pd.concat(
+                [nulldup.assign(doc_id=2_000_000), nulldup.assign(doc_id=2_000_001)]
+            )
+            short = df[df.doc_id == 10]
+            sh2 = pd.concat(
+                [
+                    short.assign(doc_id=3_000_000, text="two words"),
+                    short.assign(doc_id=3_000_001, text="two words"),
+                ]
+            )
+            tb = pa.Table.from_pandas(
+                pd.concat([df, extra, nd2, sh2], ignore_index=True),
+                preserve_index=False,
+            )
+        if t == "embeddings":
+            mask = pc.is_in(tb.column("vec_id"), value_set=pa.array([7, 8, 9]))
+            cols = {
+                n: (
+                    pc.if_else(mask, pa.nulls(len(tb), tb.column(n).type), tb.column(n))
+                    if n == "embedding"
+                    else tb.column(n)
+                )
+                for n in tb.column_names
+            }
+            df = pa.table(cols).to_pandas()
+            extra = df[df.vec_id < 3].copy()
+            extra["vec_id"] += 1_000_000
+            tb = pa.Table.from_pandas(
+                pd.concat([df, extra], ignore_index=True), preserve_index=False
+            )
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def combo_duck(combo_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{combo_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", COMBO_KEYS)
+def test_combo_corpus_oracle_parity(spark, combo_dir, combo_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, combo_dir).toPandas()
+    du = combo_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
+
+
 def test_null_emb_ann_index_build_no_crash(spark, null_emb_dir):
     """pipeline_ann_index_build is excluded from oracle parity on this
     corpus BY DESIGN: its FULL oracle relies on the IVF serve path's
