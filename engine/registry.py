@@ -191,79 +191,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r09/r10 fronted the r01/r02-stale tiers; r11 fronted the 16 r02-stale
 # + 34 oldest r03 greens (50/50 green, CORRECTNESS_r11.json).
 #
-# r12 window (this list): continued pure staleness rotation — the 16
-# remaining r03 greens (the TPC-H q1..q22 core plus udaf/udf/udtf/unpivot
-# keys whose newest green is r03) then the 34 oldest r04 greens,
-# alphabetical within each staleness tier. Derived by `python
-# scripts/next_window.py 12` against the on-disk CORRECTNESS_r01..r11
-# evidence at r12 open (r11 came back 50/50 green, so the real
-# derivation equals the r11-close rehearsal verbatim — verified by
-# re-running the script, not by pasting).
+# r12 window: continued pure staleness rotation — the 16 remaining r03
+# greens (TPC-H core + udaf/udf/udtf/unpivot) then the 34 oldest r04
+# greens. Came back 50/50 green (CORRECTNESS_r12.json).
+#
+# r13 window (this list): the final 14 r04 greens (the whole remaining
+# pre-r05 tier: stream_* state keys, text_containment/decontaminate/
+# keyword/pack/repetition/vocab, udtf_arrow_expand, win_pattern_match)
+# then the 36 oldest r05 greens, alphabetical within each staleness
+# tier. Derived by `python scripts/next_window.py 13` against the REAL
+# on-disk CORRECTNESS_r01..r12 evidence at r13 open (r12 came back
+# 50/50 green, so the derivation equals the r12-close rehearsal
+# verbatim — verified by re-running the script, not by pasting).
 # tests/test_registry_window.py::test_window_equals_policy_output pins
 # this list == policy output; a hand-edit that diverges fails the suite.
-# r13 expectation: next_window.py 13 → the remaining 14 r04 greens plus
-# the 36 oldest r05 greens (re-run the script at the boundary, don't
-# paste — a red r12 key re-enters and displaces rotation slots).
-#
-# r13 rehearsal (r12, simulated all-green r12 evidence): the derivation
-# yields the 14 remaining r04 greens (stream_session_30m …
-# win_pattern_match, alphabetical) then the 36 oldest r05 greens
-# (agg_bitmap_distinct … scan_parquet). Paste-from-rehearsal is still
-# wrong if any r12 window key comes back red — re-run the script
-# against the REAL CORRECTNESS_r12.json at the boundary.
-_WINDOW_ROUND = 12  # CORRECTNESS_r{N}.json this window is aimed at
+# r14 expectation: next_window.py 14 → the remaining r05 greens plus
+# the oldest r06 greens (re-run the script at the boundary, don't
+# paste — a red r13 key re-enters and displaces rotation slots).
+_WINDOW_ROUND = 13  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing",
-    "tpch_q22_idle_balance",
-    "tpch_q3_shipping",
-    "tpch_q4_priority_exists",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_rollup",
-    "udaf_pandas_group",
-    "udf_pandas_vectorized",
-    "udf_python_scalar",
-    "udtf_python",
-    "unpivot_long",
-    "agg_approx_distinct",
-    "agg_approx_median",
-    "agg_approx_top_k",
-    "agg_cms_estimate",
-    "agg_heavy_hitters",
-    "agg_hll_sketch_merge",
-    "agg_sketch_intersection",
-    "data_split_stratified",
-    "dedup_near_minhash",
-    "doc_length_histogram",
-    "emb_centroid_by_label",
-    "emb_pca_project",
-    "emb_scalar_quantize",
-    "etl_dq_profile",
-    "etl_funnel_stages",
-    "etl_incremental_watermark",
-    "etl_snapshot_diff",
-    "fn_array_set_ops",
-    "fn_collation_group",
-    "fn_variant_shred",
-    "join_asof_nearest",
-    "join_bloom_prune",
-    "join_range_binned",
-    "plan_observe_metrics",
-    "sample_balanced_lang",
-    "sample_source_mix",
-    "scan_python_datasource",
-    "scan_text_lines",
-    "sim_ann_ivf",
-    "sim_ann_rp_lsh",
-    "sql_pipe_syntax",
-    "sql_recursive_cte_chain",
-    "stream_foreachbatch_upsert",
-    "stream_late_data",
+    "stream_session_30m",
+    "stream_sliding_1h_15m",
+    "stream_stateful_counter",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_watermark_dedup",
+    "text_containment",
+    "text_decontaminate",
+    "text_keyword_topterm",
+    "text_pack_sequences",
+    "text_repetition_ratio",
+    "text_vocab_coverage",
+    "udtf_arrow_expand",
+    "win_pattern_match",
+    "agg_bitmap_distinct",
+    "agg_entropy_token",
+    "agg_group_hash",
+    "agg_ks_drift",
+    "agg_percentile",
+    "agg_quantile_bins",
+    "agg_skew_kurtosis",
+    "agg_weighted_percentile",
+    "dedup_cross_source",
+    "dedup_paragraph_chunks",
+    "dedup_semdedup",
+    "emb_binary_quantize",
+    "emb_kmeans_lloyd",
+    "emb_matryoshka_truncate",
+    "etl_compact_small_files",
+    "etl_gap_fill_interpolate",
+    "etl_validate_fk_staging",
+    "filter_null_3vl",
+    "fn_aes_roundtrip",
+    "fn_explode_outer_structs",
+    "fn_mask_pii",
+    "fn_url_parse",
+    "fn_xml_extract",
+    "graph_degree_distribution",
+    "graph_pagerank_iter",
+    "graph_triangle_count",
+    "join_asof",
+    "join_inner_equi",
+    "join_lateral_topk",
+    "join_null_safe_eq",
+    "join_star_multiway",
+    "pipeline_corpus_datasheet",
+    "sample_reservoir_group",
+    "sample_temperature",
+    "scan_csv_multiline_quoted",
+    "scan_parquet",
 ]
 
 
