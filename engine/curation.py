@@ -120,7 +120,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket-sum agg and the final join: persist it (~40 B/row vs the
     ~KB text column) so tokenization — the hottest stage — runs once,
     not twice. The stats scan reads only (doc_id, source): Catalyst
-    prunes the split(text) out of the min/max agg."""
+    prunes the split(text) out of the min/max agg.
+
+    NULL source (r13, ADVICE): the oracle's PARTITION BY keeps NULL as
+    its own group, and groupBy produces a NULL-source stats row — but a
+    plain equi-join on source would silently drop those rows. Both
+    joins in the bucket rewrite are therefore eqNullSafe on source, so
+    the NULL-source shard packs exactly like any other source shard."""
     from engine.tables import swap_persist
 
     d = load(spark, sf_dir, "documents")
@@ -135,9 +141,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = swap_persist(
         spark,
-        t.join(F.broadcast(stats), "source").select(
-            "doc_id", "source", "n_tokens", bkt.alias("bkt")
-        ),
+        t.join(F.broadcast(stats), t["source"].eqNullSafe(stats["source"]))
+        .drop(stats["source"])
+        .select("doc_id", "source", "n_tokens", bkt.alias("bkt")),
         "pack_rows",
     )
     bo = Window.partitionBy("source").orderBy("bkt")
@@ -165,7 +171,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     ).cast("long")
     return (
-        rows.join(F.broadcast(boff), ["source", "bkt"])
+        rows.join(
+            F.broadcast(boff),
+            rows["source"].eqNullSafe(boff["source"])
+            & (rows["bkt"] == boff["bkt"]),
+        )
+        .drop(boff["source"])
+        .drop(boff["bkt"])
         .select(
             "doc_id",
             "source",
@@ -211,7 +223,15 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hk), so bucket-major + within-bucket (hk, doc_id) order IS the
     per-source order and rn is exactly the single-partition row_number.
     The per-source counts come from the same tiny broadcast agg as the
-    bucket bounds — the count() window is gone too."""
+    bucket bounds — the count() window is gone too.
+
+    NULL source (r13, ADVICE): both joins are eqNullSafe on source so a
+    NULL-source group samples at the same 40% rate instead of being
+    silently dropped (the oracle's PARTITION BY keeps it). rows feeds
+    both the bucket-count agg and the final join — persist it like
+    text_pack_sequences' twin so the documents scan runs once."""
+    from engine.tables import swap_persist
+
     d = load(spark, sf_dir, "documents")
     hk = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
     t = d.select("doc_id", "source", hk.alias("hk"))
@@ -224,8 +244,12 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(F.floor((F.col("hk") - F.col("mn")) / step), F.lit(63))
     )
-    rows = t.join(F.broadcast(stats), "source").select(
-        "doc_id", "source", "hk", "cnt", bkt.alias("bkt")
+    rows = swap_persist(
+        spark,
+        t.join(F.broadcast(stats), t["source"].eqNullSafe(stats["source"]))
+        .drop(stats["source"])
+        .select("doc_id", "source", "hk", "cnt", bkt.alias("bkt")),
+        "mix_rows",
     )
     bo = Window.partitionBy("source").orderBy("bkt")
     boff = (
@@ -242,7 +266,13 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source", "bkt").orderBy("hk", "doc_id")
     return (
-        rows.join(F.broadcast(boff), ["source", "bkt"])
+        rows.join(
+            F.broadcast(boff),
+            rows["source"].eqNullSafe(boff["source"])
+            & (rows["bkt"] == boff["bkt"]),
+        )
+        .drop(boff["source"])
+        .drop(boff["bkt"])
         .withColumn("rn", F.col("off") + F.row_number().over(w))
         .filter(F.col("rn") <= F.ceil(F.col("cnt") * 0.4).cast("long"))
         .select("doc_id", "source")

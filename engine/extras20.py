@@ -49,14 +49,19 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     is populated from the scan's own file listing: zero extra IO, and
     filters on it prune at the FILE level like partition filters.
 
-    Degenerate-source semantics (r12): Spark writes no part files for
-    empty partitions, so an n-row source yields min(n, 4) files (round-
-    robin repartition spreads n < 4 rows over n distinct partitions) and
-    an empty one yields a vacuous (NULL) min-size flag — the oracle's
-    least(4, count(*)) + CASE mirror exactly that."""
+    Degenerate-source semantics (r12, hardened r13): Spark writes no
+    part files for empty partitions, so an n-row source yields
+    min(n, 4) files and an empty one a vacuous (NULL) min-size flag —
+    the oracle's least(4, count(*)) + CASE mirror exactly that. The
+    write uses repartitionByRange on the distinct event_id (NOT
+    round-robin repartition(4): each input partition round-robins from
+    its own seeded start, so a tiny MULTI-partition input can collide
+    n < 4 rows into fewer than n output files and flake the parity
+    check; the range partitioner provably places k <= 4 distinct keys
+    in k distinct partitions — probed at n=1..7,100, ADVICE r12)."""
     base = scratch_dir(prefix=f"sg-meta-{sftag(sf_dir)}-")
-    load(spark, sf_dir, "events").select("event_id", "value").repartition(
-        4
+    load(spark, sf_dir, "events").select("event_id", "value").repartitionByRange(
+        4, "event_id"
     ).write.mode("overwrite").parquet(base)
     back = spark.read.parquet(base).select(
         "event_id",

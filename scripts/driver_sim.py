@@ -41,11 +41,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         else:
             # NULL in an object column arrives as None from Spark but as
             # float NaN from DuckDB's .df() (nullable BOOLEAN) — both are
-            # SQL NULL; map them to the same sentinel.
+            # SQL NULL; map them to the same sentinel. Guard (r13,
+            # ADVICE): only when the column is NOT genuinely float-typed —
+            # if any non-null value is a float, the column carries real
+            # float data (mixed object dtype) and a genuine NaN must
+            # canonicalize as "nan" like the float branch, not be
+            # conflated with the other engine's SQL NULL.
+            has_real_float = any(
+                isinstance(x, float) and x == x for x in col.dropna().head(1000)
+            )
             df[c] = col.map(
-                lambda x: "\0"
-                if x is None or x is pd.NA or (isinstance(x, float) and x != x)
-                else str(x)
+                lambda x: (
+                    "\0"
+                    if x is None
+                    or x is pd.NA
+                    or (not has_real_float and isinstance(x, float) and x != x)
+                    else ("nan" if isinstance(x, float) and x != x else str(x))
+                )
             )
     return df
 

@@ -239,3 +239,59 @@ def test_length_band_pairs_match_brute_force(spark):
         .collect()
     }
     assert banded == brute and brute  # equal and non-trivial
+
+
+@given(
+    k=st.integers(min_value=0, max_value=200),
+    offsets=st.lists(
+        st.integers(min_value=-40, max_value=40), min_size=2, max_size=6
+    ),
+    weights=st.lists(st.integers(min_value=1, max_value=10), min_size=2, max_size=6),
+    perm_seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=2000, deadline=None)
+def test_weighted_centroid_round8_boundary_law(k, offsets, weights, perm_seed):
+    """ADVICE r11 escalation hunt (closed r13): the semdedup/kmeans
+    collapse path computes per-(cid, pos) centroid means at REP level as
+    sum(v*w)/sum(w) and claims round(.., 8) resynchronizes it with the
+    member-wise sum(v)/n the oracle computes. The documented residual
+    risk: a mean within ~5e-9 of an x.xxxxxxx5 HALF_UP boundary could
+    round differently under the two summation orders. This test hunts
+    that regime directly: float32-quantized components placed AT 8-dp
+    boundaries (k*1e-8 + 5e-9 + tiny offsets, the densest float32
+    lattice around a boundary), adversarial integer multiplicities, and
+    randomized member orders (Spark's partial-agg order is
+    nondeterministic). Both engines round DOUBLEs via exact-binary-value
+    HALF_UP (Spark BigDecimal, DuckDB), emulated here with Decimal.
+
+    Directed numpy searches (400k boundary-jittered trials + 40k
+    realistic-regime rows) found zero divergences before this was
+    committed; if Hypothesis ever shrinks one out, the pinned escalation
+    in engine/graphops.py applies: switch the update to integer-scaled
+    exact accumulation (round(v*1e8) AS BIGINT sums) on both engines."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def round8(x: float) -> Decimal:
+        return (Decimal(x) / Decimal("1e-8")).to_integral_value(
+            rounding=ROUND_HALF_UP
+        )
+
+    n = min(len(offsets), len(weights))
+    base = k * 1e-8 + 5e-9
+    v = np.array(
+        [np.float32(base + o * 1e-15) for o in offsets[:n]], dtype=np.float64
+    )
+    w = np.array(weights[:n], dtype=np.float64)
+    weighted = float((v * w).sum() / w.sum())
+    members = np.repeat(v, weights[:n]).tolist()
+    random.Random(perm_seed).shuffle(members)
+    acc = 0.0
+    for m in members:
+        acc += m
+    member_wise = acc / len(members)
+    assert round8(weighted) == round8(member_wise), (
+        f"8dp divergence: weighted={weighted!r} member={member_wise!r}"
+    )
