@@ -165,13 +165,20 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near_kept = kept.join(losers, "doc_id", "left_anti").select("doc_id", "source")
 
-    # Stage 4: per-source attrition manifest.
+    # Stage 4: per-source attrition manifest. The three counts join with
+    # eqNullSafe (r13): groupBy keeps a NULL-source group, and the
+    # oracle's LEFT JOIN ... GROUP BY i.source counts it like any other
+    # source — a plain equi-join would zero its attrition columns.
     n_in = ingest.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
-    n_ex = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
-    n_nr = near_kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_near"))
+    n_ex = kept.groupBy(F.col("source").alias("s_ex")).agg(
+        F.count(F.lit(1)).alias("n_after_exact")
+    )
+    n_nr = near_kept.groupBy(F.col("source").alias("s_nr")).agg(
+        F.count(F.lit(1)).alias("n_after_near")
+    )
     return (
-        n_in.join(n_ex, "source", "left")
-        .join(n_nr, "source", "left")
+        n_in.join(n_ex, F.col("source").eqNullSafe(F.col("s_ex")), "left")
+        .join(n_nr, F.col("source").eqNullSafe(F.col("s_nr")), "left")
         .select(
             "source",
             "n_ingested",

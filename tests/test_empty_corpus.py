@@ -373,3 +373,72 @@ def test_null_emb_ann_index_build_no_crash(spark, null_emb_dir):
     )
     rows = fn(spark, null_emb_dir).collect()
     assert len(rows) == 25 and all(r["sim"] is not None for r in rows)
+
+
+# keys the r13 NULL-SOURCE sweep fixed or keep-green-pins (ADVICE r12: the
+# degenerate corpora nulled text/lang/embedding but never source, leaving
+# the source-bucketing joins unexercised). Sweep of all 364 keys against a
+# 15-NULL-source corpus: 362 PASS, 2 FAIL — pipeline_dedup_cascade (its
+# manifest equi-joins on source zeroed the NULL group's attrition counts;
+# now eqNullSafe) and scan_binary_files (the documented static-oracle
+# exclusion, not a bug). text_pack_sequences / sample_source_mix shipped
+# eqNullSafe in the same round before the sweep and pass here.
+NULL_SOURCE_KEYS = [
+    "pipeline_dedup_cascade",   # manifest joins now eqNullSafe on source
+    "text_pack_sequences",      # bucket-stats joins eqNullSafe (ADVICE)
+    "sample_source_mix",        # bucket-stats joins eqNullSafe (ADVICE)
+    # keep-green pins: source-grouped keys that already keep NULL groups
+    "dedup_cross_source",
+    "sample_balanced_lang",
+    "text_source_vocab_jaccard",
+]
+
+
+@pytest.fixture(scope="module")
+def null_source_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = tmp_path_factory.mktemp("sg_nullsource")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            # a MULTI-row NULL group (15 docs) so it spans buckets and
+            # windows, unlike a 1-row degenerate group
+            mask = pc.and_(
+                pc.greater_equal(tb.column("doc_id"), pa.scalar(11)),
+                pc.less_equal(tb.column("doc_id"), pa.scalar(25)),
+            )
+            cols = {
+                n: (
+                    pc.if_else(mask, pa.nulls(len(tb), tb.column(n).type), tb.column(n))
+                    if n == "source"
+                    else tb.column(n)
+                )
+                for n in tb.column_names
+            }
+            tb = pa.table(cols)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def null_source_duck(null_source_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{null_source_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NULL_SOURCE_KEYS)
+def test_null_source_corpus_oracle_parity(
+    spark, null_source_dir, null_source_duck, key
+):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, null_source_dir).toPandas()
+    du = null_source_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
