@@ -144,10 +144,12 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): the decoded features are pinned per doc by an INTEGER-exact
     # reconstruction — Σ(block means) × block_len equals the payload's
     # total byte sum, which DuckDB recomputes independently from the text's
-    # code points (corpus is ASCII: octet_length == length repo-wide, so
-    # unicode(char) == byte value). A regression anywhere in the decode
-    # (batching, padding, block split, mean) shifts byte_sum and
-    # hash-mismatches. Full 16-cell feature vectors stay covered by
+    # code points. r13 unicode hardening: the old oracle summed raw code
+    # points (== byte sum only for ASCII); it now maps each code point to
+    # the sum of its UTF-8 encoding bytes arithmetically (1-4 byte forms),
+    # so the parity check survives multibyte corpora. A regression anywhere
+    # in the decode (batching, padding, block split, mean) shifts byte_sum
+    # and hash-mismatches. Full 16-cell feature vectors stay covered by
     # tests/test_trainops.py against decode_features().
     oracle=f"""
     SELECT doc_id,
@@ -158,7 +160,18 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- -1 while the engine emits 0; no current corpus has empty
            -- texts, but a regenerated one must not break the attestation
            CAST(CASE WHEN length(text) = 0 THEN 0
-                ELSE list_sum(list_transform(split(text, ''), c -> unicode(c)))
+                ELSE list_sum(list_transform(split(text, ''), c ->
+                  CASE WHEN unicode(c) < 128 THEN unicode(c)
+                       WHEN unicode(c) < 2048 THEN
+                         320 + (unicode(c) // 64) + (unicode(c) % 64)
+                       WHEN unicode(c) < 65536 THEN
+                         480 + (unicode(c) // 4096)
+                             + ((unicode(c) // 64) % 64) + (unicode(c) % 64)
+                       ELSE
+                         624 + (unicode(c) // 262144)
+                             + ((unicode(c) // 4096) % 64)
+                             + ((unicode(c) // 64) % 64) + (unicode(c) % 64)
+                  END))
                 END AS BIGINT) AS byte_sum
     FROM documents
     """,

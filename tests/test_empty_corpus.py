@@ -442,3 +442,104 @@ def test_null_source_corpus_oracle_parity(
     sp = fn(spark, null_source_dir).toPandas()
     du = null_source_duck.sql(oracles[key]).df()
     assert_frames_match(sp, du, key)
+
+
+# r13 UNICODE corpus (sixth axis, VERDICT r12 item 4): multibyte UTF-8,
+# combining marks, astral-plane emoji/math chars, RTL scripts, Turkish
+# dotted/dotless i, full-width forms, ZWJ sequences. Sweep of all 364
+# keys: 360 PASS, 4 FAIL — multimodal_decode_pipeline (oracle summed raw
+# code points, == byte sum only for ASCII; now maps each code point to
+# its UTF-8 byte-sum arithmetically), text_normalize_stopwords (engine
+# divergence pinned below, not masked), pipeline_dedup_cascade (the
+# r13 NULL-source fix mid-edit, passes now) and scan_binary_files (the
+# documented static-oracle exclusion).
+UNICODE_KEYS = [
+    "multimodal_decode_pipeline",  # UTF-8 byte-sum oracle fix (r13)
+    "pipeline_dedup_cascade",
+    # keep-green pins: char-vs-byte-sensitive text kernels
+    "multimodal_frame_sample",     # char-offset frames both engines
+    "text_token_counts",
+    "text_fingerprint",
+    "dedup_near_minhash",
+    "text_chunk_overlap",
+    "fn_string_core",
+]
+
+_UNI_DOCS = {
+    30: "café café naïve NAÏVE résumé",
+    31: "日本語テスト 中文分析 한국어 日本語テスト",
+    32: "\U0001F600 \U0001F469‍\U0001F4BB \U0001F1FA\U0001F1F8 \U0001D518\U0001D52B\U0001D526",
+    33: "مرحبا بالعالم שלום עולם",
+    34: "İstanbul İstanbul istanbul ıstanbul",
+    35: "ＨＥＬＬＯ ｗｏｒｌｄ tab\there",
+    36: "á̂̃stack è́ combining̈marḱ zero​width",
+    37: "ß sharp STRASSE straße ẞ",
+    38: "\U0010FFFF edge � replacement   line sep",
+    39: "日本語テスト 中文分析 한국어 日本語テスト",  # dup of 31
+    40: "café café naïve NAÏVE résumé",              # dup of 30
+}
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("sg_unicode")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            df = tb.to_pandas()
+            for did, txt in _UNI_DOCS.items():
+                df.loc[df.doc_id == did, "text"] = txt
+            tb = pa.Table.from_pandas(df, schema=tb.schema, preserve_index=False)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{unicode_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", UNICODE_KEYS)
+def test_unicode_corpus_oracle_parity(spark, unicode_dir, unicode_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, unicode_dir).toPandas()
+    du = unicode_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
+
+
+def test_unicode_case_mapping_divergence_pinned(spark, unicode_dir, unicode_duck):
+    """text_normalize_stopwords is EXCLUDED from unicode oracle parity BY
+    DESIGN (the only lower()-output key the r13 sweep failed): Spark's
+    lower() is Java's full Unicode case mapping — lower('İ') = 'i' +
+    U+0307 combining dot (two code points) — while DuckDB's utf8proc
+    simple mapping gives plain 'i'. Both are conformant; a user switching
+    engines sees Spark's own documented behavior, same policy as the
+    grouping-sets-on-empty divergence (docs/SCALE.md r12/r13). This test
+    pins BOTH semantics so a silent change in either engine surfaces."""
+    from engine.registry import collect
+
+    queries, _ = collect()
+    fn = getattr(
+        queries["text_normalize_stopwords"],
+        "__wrapped__",
+        queries["text_normalize_stopwords"],
+    )
+    sp = {
+        r["doc_id"]: r["normalized"]
+        for r in fn(spark, unicode_dir).filter("doc_id = 34").collect()
+    }
+    assert sp[34] == "i̇stanbul i̇stanbul istanbul ıstanbul"
+    du = unicode_duck.sql(
+        "SELECT array_to_string(list_filter(string_split(lower(text), ' '),"
+        " t -> length(t) > 1), ' ') AS n FROM documents WHERE doc_id = 34"
+    ).fetchone()[0]
+    assert du == "istanbul istanbul istanbul ıstanbul"
