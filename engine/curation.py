@@ -103,24 +103,32 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard packing bookkeeping a tokenizer/dataloader needs (docs may
     straddle a boundary; offset_in_seq is where the doc STARTS).
 
-    100 TB (r12 rewrite): source cardinality is ~20, so a plain
-    partitionBy(source) running-sum window serializes the corpus into ~20
-    single-threaded sorts — the same parallelism ceiling the r11
-    agg_weighted_percentile rehearsal measured at exponent 0.98. The
-    cumsum instead uses scaleops' two-level range-bucket pattern,
-    EXACTLY: per-source min/max doc_id splits the order domain into 64
-    fixed-width buckets; a bucket-level cumsum over the ~20×64 partial
-    sums (trivial window) yields each bucket's starting offset; the
-    per-row window partitions by (source, bkt) — ~1280-way parallel —
-    and adds the offset. Bucketing is monotone in doc_id, so
+    100 TB (r12 rewrite, r13 quantile bounds): source cardinality is
+    ~20, so a plain partitionBy(source) running-sum window serializes
+    the corpus into ~20 single-threaded sorts — the same parallelism
+    ceiling the r11 agg_weighted_percentile rehearsal measured at
+    exponent 0.98. The cumsum instead uses scaleops' two-level
+    range-bucket pattern: 64 doc_id buckets per source; a bucket-level
+    cumsum over the ~20×64 partial sums (trivial window) yields each
+    bucket's starting offset; the per-row window partitions by
+    (source, bkt) — ~1280-way parallel — and adds the offset. r13: the
+    bucket bounds are QUANTILE split points (percentile_approx over
+    doc_id), not fixed-width [mn,mx]/64 — the r13 skew rehearsal showed
+    the fixed grid collapsing 90% of a source's rows into ONE bucket
+    when its doc_ids cluster in a dense band under one outlier id
+    (max-task 4 → 4500 of 5001 at sf0.1); quantile buckets hold ~equal
+    row counts for ANY id distribution. Bucket assignment (count of
+    splits ≤ doc_id) is a pure monotone function of doc_id, so
     bucket-major + within-bucket doc_id order IS the per-source order,
     and n_tokens is integral, so every partial sum is exact regardless
-    of association — cum_before is bit-identical to the single-partition
-    window's. The (doc_id, source, n_tokens, bkt) projection feeds both
+    of association — cum_before is bit-identical to the
+    single-partition window's (the sketch need not be deterministic:
+    any monotone bucketing gives the same result, only load balance
+    varies). The (doc_id, source, n_tokens, bkt) projection feeds both
     the bucket-sum agg and the final join: persist it (~40 B/row vs the
     ~KB text column) so tokenization — the hottest stage — runs once,
     not twice. The stats scan reads only (doc_id, source): Catalyst
-    prunes the split(text) out of the min/max agg.
+    prunes the split(text) out of the quantile agg.
 
     NULL source (r13, ADVICE): the oracle's PARTITION BY keeps NULL as
     its own group, and groupBy produces a NULL-source stats row — but a
@@ -133,11 +141,14 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split("text", " ")).cast("long")
     t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
     stats = t.groupBy("source").agg(
-        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        F.percentile_approx(
+            "doc_id", [i / 64.0 for i in range(1, 64)], 10000
+        ).alias("splits")
     )
-    step = (F.col("mx") - F.col("mn")) / F.lit(64.0)
-    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(F.floor((F.col("doc_id") - F.col("mn")) / step), F.lit(63))
+    bkt = F.aggregate(
+        F.col("splits"),
+        F.lit(0),
+        lambda acc, s: acc + F.when(F.col("doc_id") >= s, 1).otherwise(0),
     )
     rows = swap_persist(
         spark,

@@ -232,26 +232,46 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing rows. Neither percentile() nor percentile_approx() takes
     weights; this window shape is the standard rewrite.
 
-    100 TB (r11 rewrite, r12 crossing-bucket prune): l_returnflag has
-    THREE values, so the naive partitionBy(flag) window serializes the
-    whole corpus into three single-threaded sorts — the r11 100×
-    rehearsal measured wall-clock exponent 0.98 (0.9 s → 85 s). The r11
-    two-level range-bucket rewrite (256 fixed-width price buckets per
-    flag; bucket-level cumsum over the 3×256 partials yields each
-    bucket's starting offset) got exponent 0.67 — still shuffling and
-    sorting EVERY row through the per-row window. r12 observes that the
-    answer only ever comes from the CROSSING bucket: the minimal bucket
-    b where off_b + bw_b ≥ 0.5·tw contains the crossing row (off_b <
-    0.5·tw by minimality), and every qualifying row in a later bucket
-    has a strictly higher price, so min() ignores it. Rows outside the
-    crossing bucket are filtered BEFORE the shuffle — the per-row window
-    sorts ~1/256 of the corpus, and the full-corpus work is three
-    column-pruned scans (stats; bucket sums; the pruned selection).
-    Bucketing is monotone in price, so within-bucket (price, orderkey,
-    linenumber) order + the bucket offset reproduce the global cumsum,
-    and l_quantity is integral (TPC-H 1..50), so every partial sum is
-    exact in f64 regardless of association — cw, tw, and the crossing
-    row are bit-identical to the single-partition window's.
+    100 TB (r11 rewrite, r12 crossing-bucket prune, r13 skew guard):
+    l_returnflag has THREE values, so the naive partitionBy(flag)
+    window serializes the corpus into three single-threaded sorts (r11
+    100× rehearsal: exponent 0.98). Level 1 is r12's fixed-width prune
+    — 256 price buckets per flag, bucket-level cumsum over the 3×256
+    partials, and only the CROSSING bucket's rows go any further
+    (off_b < 0.5·tw ≤ off_b + bw_b, and min() ignores every later
+    bucket's higher prices) — the full-corpus work stays three
+    column-pruned scans with map-side partial aggs, no row shuffle.
+
+    Order-theoretic simplification (r13): the oracle's (orderkey,
+    linenumber) tie-break never changes the crossing PRICE — p* =
+    min{p : W(≤p) ≥ 0.5·tw} where W is quantity mass by price (every
+    strictly-lower-priced row precedes the p* block under ANY
+    intra-price order, and the running sum crosses inside that block)
+    — so the final window orders by price ALONE: same answer, narrower
+    sort key, no orderkey/linenumber columns carried.
+
+    Skew guard (r13): a price POINT-MASS under an outlier-stretched
+    grid defeats the fixed-width level 1 — the rehearsal corpus put
+    540,505 of 600,001 rows into the crossing bucket (a 0.9·n
+    single-task sort). The guard reads the crossing bucket's row count
+    from the ALREADY-persisted 768-row bucket relation (a bounded
+    driver read, ≤|flags| rows, same class as the engine's other five
+    bounded collects) and, only when the slice exceeds 4× its fair
+    share + 4096, routes through level 2: consolidate the slice by
+    price (groupBy(flag, price) — the hash agg's map-side combine
+    collapses a point-mass BEFORE the shuffle), re-bucket the distinct
+    prices with QUANTILE split points (a fixed grid would re-degenerate
+    on a dense cluster of distinct prices; quantile buckets hold ~equal
+    distinct-price counts for any distribution), and sort only the
+    level-2 crossing sub-bucket. Post-fix rehearsal: max window task
+    14 vs 540,505 on the skew corpus; the normal-corpus plan is
+    bit-identical to r12's (the guard does not fire), so the healthy
+    path pays only the two tiny driver reads. Bucket assignment at
+    both levels is a pure monotone function of price, so bucket-major
+    + within-bucket price order IS the global price order; quantities
+    are integral (TPC-H 1..50), so every partial sum is exact in f64
+    regardless of association. The level-2 sketch need not be
+    deterministic: any monotone bucketing yields the same result.
     """
     from engine.tables import swap_persist
 
@@ -270,24 +290,27 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = li.join(F.broadcast(stats), "l_returnflag").select(
         "l_returnflag",
         "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
         "l_quantity",
         "tw",
         bkt.alias("bkt"),
     )
     bo = Window.partitionBy("l_returnflag").orderBy("bkt")
-    # 3×256 rows; persisted because the crossing filter and the offset
-    # join both read it — without the persist each reference recomputes
-    # the full-corpus bucket aggregation (a whole extra scan).
+    # 3×256 rows; persisted because the crossing filter, the offset join
+    # and the skew guard all read it — without the persist each reference
+    # recomputes the full-corpus bucket aggregation (a whole extra scan).
     boff = swap_persist(
         spark,
         rows.groupBy("l_returnflag", "bkt")
-        .agg(F.sum("l_quantity").alias("bw"), F.first("tw").alias("tw"))
+        .agg(
+            F.sum("l_quantity").alias("bw"),
+            F.count(F.lit(1)).alias("bn"),
+            F.first("tw").alias("tw"),
+        )
         .select(
             "l_returnflag",
             "bkt",
             "bw",
+            "bn",
             "tw",
             (
                 F.sum("bw").over(bo.rowsBetween(Window.unboundedPreceding, 0))
@@ -300,23 +323,31 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         boff.filter(F.col("off") + F.col("bw") >= 0.5 * F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.min("bkt").alias("bkt"))
-        .join(boff.select("l_returnflag", "bkt", "off"), ["l_returnflag", "bkt"])
+        .join(
+            boff.select("l_returnflag", "bkt", "off"),
+            ["l_returnflag", "bkt"],
+        )
     )
-    wspec = Window.partitionBy("l_returnflag", "bkt").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    # Skew guard: ONE bounded driver read over the persisted 768-row
+    # bucket relation (min_by picks each flag's crossing-bucket row count
+    # without a second pass; a single action keeps the two lineitem scan
+    # stages free to overlap inside the main job) — never row-scaled.
+    probe = (
+        boff.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "min_by(bn, CASE WHEN off + bw >= 0.5 * tw THEN bkt END)"
+            ).alias("cbn"),
+            F.sum("bn").alias("nf"),
+        )
+        .agg(F.max("cbn").alias("mx_bn"), F.sum("nf").alias("total"))
+        .first()
     )
-    w = rows.join(F.broadcast(crossing), ["l_returnflag", "bkt"]).select(
-        "l_returnflag",
-        "l_extendedprice",
-        (
-            F.col("off")
-            + F.sum("l_quantity").over(
-                wspec.rowsBetween(Window.unboundedPreceding, 0)
-            )
-        ).alias("cw"),
-        "tw",
-    )
-    return (
+    skewed = probe["mx_bn"] is not None and probe["mx_bn"] > 4 * (
+        (probe["total"] or 0) // 256
+    ) + 4096
+
+    final_agg = lambda w: (  # noqa: E731 — shared tail of both paths
         w.filter(F.col("cw") >= 0.5 * F.col("tw"))
         .groupBy("l_returnflag")
         .agg(
@@ -325,6 +356,94 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+    if not skewed:
+        # Healthy path — r12's plan: sort the ~n/256 crossing slice.
+        wspec = Window.partitionBy("l_returnflag", "bkt").orderBy(
+            "l_extendedprice"
+        )
+        w = rows.join(
+            F.broadcast(crossing.select("l_returnflag", "bkt", "off")),
+            ["l_returnflag", "bkt"],
+        ).select(
+            "l_returnflag",
+            "l_extendedprice",
+            (
+                F.col("off")
+                + F.sum("l_quantity").over(
+                    wspec.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("cw"),
+            "tw",
+        )
+        return final_agg(w)
+
+    # Level 2 (skewed slice): consolidate by price, quantile-sub-bucket.
+    slicew = swap_persist(
+        spark,
+        rows.join(
+            F.broadcast(crossing.select("l_returnflag", "bkt", "off")),
+            ["l_returnflag", "bkt"],
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(
+            F.sum("l_quantity").alias("pw"),
+            F.first("tw").alias("tw"),
+            F.first("off").alias("off"),
+        ),
+        "wpctl_slicew",
+    )
+    sstats = slicew.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / 64.0 for i in range(1, 64)], 1000
+        ).alias("splits")
+    )
+    bkt2 = F.aggregate(
+        F.col("splits"),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(F.col("l_extendedprice") >= s, 1).otherwise(0),
+    )
+    rows2 = slicew.join(F.broadcast(sstats), "l_returnflag").select(
+        "l_returnflag", "l_extendedprice", "pw", "tw", "off", bkt2.alias("b2")
+    )
+    bo2 = Window.partitionBy("l_returnflag").orderBy("b2")
+    boff2 = (
+        rows2.groupBy("l_returnflag", "b2")
+        .agg(
+            F.sum("pw").alias("bw2"),
+            F.first("tw").alias("tw"),
+            F.first("off").alias("off"),
+        )
+        .select(
+            "l_returnflag",
+            "b2",
+            "bw2",
+            "tw",
+            (
+                F.col("off")
+                + F.sum("bw2").over(bo2.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("bw2")
+            ).alias("off2"),
+        )
+    )
+    crossing2 = (
+        boff2.filter(F.col("off2") + F.col("bw2") >= 0.5 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("b2").alias("b2"))
+        .join(boff2.select("l_returnflag", "b2", "off2"), ["l_returnflag", "b2"])
+    )
+    wspec = Window.partitionBy("l_returnflag", "b2").orderBy("l_extendedprice")
+    w = rows2.join(F.broadcast(crossing2), ["l_returnflag", "b2"]).select(
+        "l_returnflag",
+        "l_extendedprice",
+        (
+            F.col("off2")
+            + F.sum("pw").over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cw"),
+        "tw",
+    )
+    return final_agg(w)
 
 
 @query(

@@ -105,10 +105,14 @@ def max_bucket_rows(spark, sf_dir: str, key: str) -> int:
     from engine.tables import load
 
     if key == "agg_weighted_percentile":
+        # r13 shape: level-1 fixed-width crossing prune, then the window
+        # runs over the crossing slice's DISTINCT-PRICE relation,
+        # quantile-sub-bucketed — measure the largest (flag, b2) cell.
         li = load(spark, sf_dir, "lineitem")
         stats = li.groupBy("l_returnflag").agg(
             F.min("l_extendedprice").alias("mn"),
             F.max("l_extendedprice").alias("mx"),
+            F.sum("l_quantity").alias("tw"),
         )
         step = (F.col("mx") - F.col("mn")) / F.lit(256.0)
         bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
@@ -117,19 +121,61 @@ def max_bucket_rows(spark, sf_dir: str, key: str) -> int:
                 F.lit(255),
             )
         )
+        rows = li.join(F.broadcast(stats), "l_returnflag").select(
+            "l_returnflag", "l_extendedprice", "l_quantity", "tw",
+            bkt.alias("bkt"),
+        )
+        from pyspark.sql.window import Window
+
+        bo = Window.partitionBy("l_returnflag").orderBy("bkt")
+        boff = (
+            rows.groupBy("l_returnflag", "bkt")
+            .agg(F.sum("l_quantity").alias("bw"), F.first("tw").alias("tw"))
+            .select(
+                "l_returnflag", "bkt", "bw", "tw",
+                (
+                    F.sum("bw").over(bo.rowsBetween(Window.unboundedPreceding, 0))
+                    - F.col("bw")
+                ).alias("off"),
+            )
+        )
+        crossing = (
+            boff.filter(F.col("off") + F.col("bw") >= 0.5 * F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("bkt").alias("bkt"))
+        )
+        slicew = (
+            rows.join(F.broadcast(crossing), ["l_returnflag", "bkt"])
+            .groupBy("l_returnflag", "l_extendedprice")
+            .count()
+        )
+        sstats = slicew.groupBy("l_returnflag").agg(
+            F.percentile_approx(
+                "l_extendedprice", [i / 64.0 for i in range(1, 64)], 1000
+            ).alias("splits")
+        )
+        b2 = F.aggregate(
+            F.col("splits"),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.col("l_extendedprice") >= s, 1).otherwise(0),
+        )
         cells = (
-            li.join(F.broadcast(stats), "l_returnflag")
-            .groupBy("l_returnflag", bkt.alias("bkt"))
+            slicew.join(F.broadcast(sstats), "l_returnflag")
+            .groupBy("l_returnflag", b2.alias("b2"))
             .count()
         )
     elif key == "text_pack_sequences":
         d = load(spark, sf_dir, "documents").select("doc_id", "source")
         stats = d.groupBy("source").agg(
-            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+            F.percentile_approx(
+                "doc_id", [i / 64.0 for i in range(1, 64)], 10000
+            ).alias("splits")
         )
-        step = (F.col("mx") - F.col("mn")) / F.lit(64.0)
-        bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-            F.least(F.floor((F.col("doc_id") - F.col("mn")) / step), F.lit(63))
+        bkt = F.aggregate(
+            F.col("splits"),
+            F.lit(0),
+            lambda acc, s: acc + F.when(F.col("doc_id") >= s, 1).otherwise(0),
         )
         cells = (
             d.join(F.broadcast(stats), d["source"].eqNullSafe(stats["source"]))

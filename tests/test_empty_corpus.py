@@ -99,6 +99,9 @@ ONE_ROW_KEYS = [
     "scan_metadata_columns",    # n<4 rows -> n files (least(4, n) oracle)
     "sim_ann_ivf",              # 1 centroid < nprobe: probe width clamps
     "pipeline_ann_index_build", # same clamp in the build/serve kernels
+    # r13 quantile-bucket rewrites: 1 row -> all 63 splits equal, bkt=63
+    "agg_weighted_percentile",
+    "text_pack_sequences",
 ]
 
 
