@@ -57,18 +57,28 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus vocabulary is real text (kept as strings here for the
     cross-engine oracle)."""
     d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
+    # t is BOUND in its own projection (r13 long-doc fix): an inline
+    # split(text) referenced inside the transform lambda re-tokenizes the
+    # document per shingle — O(tokens²) per doc on a long document.
+    t = F.col("t")
     # sequence(1, n) with n < 1 would generate a DESCENDING range in Spark
     # (step defaults to -1), so gate short docs to an empty shingle array.
     n_sh = F.size(t) - 4
+    # shingle tokens via O(1) element_at, not slice() — slice inside a
+    # lambda runs interpreted and copies the whole token array per
+    # shingle; i..i+4 are in bounds (1-based) under the n_sh >= 1 gate
     shingles = F.when(
         n_sh >= 1,
         F.transform(
             F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(t, i, 5), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(5)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = d.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", F.explode(shingles).alias("sh")
+    )
     ev = sh.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
     return (
         sh.filter(F.col("doc_id") % 11 != 0)

@@ -134,40 +134,49 @@ def multimodal_signal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle explodes to per-sample rows because DuckDB lacks the fold; both
     reduce to identical integer sums). Output is one row per frame:
     ceil(n/32) per doc."""
+    # r13 long-doc fix: the old shape exploded frame indices FIRST, copied
+    # the full text into every frame row, and substring'd per sample —
+    # substring(text, off + j, 1) is an O(offset) scan, so a long payload
+    # cost O(len²) per doc. The per-char code array is now bound ONCE per
+    # doc, each frame folds over an O(32) slice of it, and only the small
+    # (frame_idx, flen, peak, sumsq) structs are exploded.
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
-    n = F.length("text")
-    frames = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0), ((n - 1) / 32).cast("int"))).alias(
-            "frame_idx"
-        ),
-        n.alias("n"),
-    ).select(
-        "doc_id",
-        "text",
-        "frame_idx",
-        (F.col("frame_idx") * 32).cast("int").alias("off"),
-        F.least(F.lit(32), F.col("n") - F.col("frame_idx") * 32)
-        .cast("int")
-        .alias("flen"),
+    # frame windows via O(1) element access, not slice() — slice inside a
+    # lambda runs interpreted and copies the whole code array per frame
+    frames = F.expr(
+        "transform(sequence(0, cast((size(cd) - 1) / 32 as int)),"
+        " k -> named_struct("
+        "   'frame_idx', k,"
+        "   'flen', cast(least(32, size(cd) - k * 32) as int),"
+        "   'peak', cast(array_max(transform("
+        "     sequence(k * 32, least(size(cd), k * 32 + 32) - 1),"
+        "     j -> cd[j])) as int),"
+        "   'sumsq', aggregate(transform("
+        "     sequence(k * 32, least(size(cd), k * 32 + 32) - 1),"
+        "     j -> cd[j]), 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)))"
     )
-    codes = F.expr(
-        "transform(sequence(1, flen), j -> ascii(substring(text, off + j, 1)))"
-    )
-    sumsq = F.expr(
-        "aggregate(transform(sequence(1, flen), "
-        "j -> ascii(substring(text, off + j, 1))), "
-        "0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)"
-    )
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        "flen",
-        F.array_max(codes).cast("int").alias("peak"),
-        F.round(
-            F.sqrt(sumsq.cast("double") / F.col("flen")), 4
-        ).alias("energy"),
+    return (
+        d.select(
+            "doc_id",
+            # empty text has NO frames (the oracle's range(0, (-1//32)+1)
+            # is empty); split('','') would be [''] (size 1), so gate to
+            # NULL — transform/sequence/explode of NULL emit nothing
+            F.expr(
+                "CASE WHEN text IS NULL OR length(text) = 0"
+                " THEN cast(NULL as array<int>)"
+                " ELSE transform(split(text, ''), c -> ascii(c)) END"
+            ).alias("cd"),
+        )
+        .select("doc_id", F.explode(frames).alias("fr"))
+        .select(
+            "doc_id",
+            F.col("fr.frame_idx").alias("frame_idx"),
+            F.col("fr.flen").alias("flen"),
+            F.col("fr.peak").alias("peak"),
+            F.round(
+                F.sqrt(F.col("fr.sumsq").cast("double") / F.col("fr.flen")), 4
+            ).alias("energy"),
+        )
     )
 
 

@@ -174,13 +174,28 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     # shares one shingle and they all pair as near-dups — where the
     # oracles' hash-of-NULL is NULL and the gram equi-join drops them
     # (r12 NULL-text hardening).
-    sh0 = spread_cpu(d).select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN text IS NULL THEN cast(array() as array<bigint>)"
-            " ELSE array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
-            " i -> xxhash64(substring(text, i, 5)))) END"
-        ).alias("hs0"),
+    # chs (the per-char array) is BOUND in its own projection and shingles
+    # are rebuilt from O(1) ELEMENT access (r13 long-doc fix):
+    # substring(text, i, 5) scans from the string start every call (no
+    # O(1) char offsets on UTF8String), and slice(chs, i, 5) inside the
+    # lambda runs interpreted and copies the whole array per shingle —
+    # both O(len²) per doc, which made ONE 1M-char doc hang the whole key.
+    # concat of the 5 chars rebuilds the identical shingle string (same
+    # xxhash64 input); a sub-5-char doc hashes the whole text, exactly the
+    # old substring(text, 1, 5) behavior, and keeps the indices in bounds
+    # for ANSI GetArrayItem.
+    sh0 = (
+        spread_cpu(d)
+        .select("doc_id", "text", F.split("text", "").alias("chs"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN text IS NULL THEN cast(array() as array<bigint>)"
+                " WHEN length(text) < 5 THEN array(xxhash64(text))"
+                " ELSE array_distinct(transform(sequence(1, length(text) - 4),"
+                " i -> xxhash64(concat(chs[i-1], chs[i], chs[i+1], chs[i+2], chs[i+3])))) END"
+            ).alias("hs0"),
+        )
     )
     # h: h0 folded into [0, p) so the permutations (a*h+b) % p never
     # overflow int64.

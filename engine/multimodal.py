@@ -94,7 +94,9 @@ def _decode_fake(buf: "bytes", n_cells: int) -> "list[float]":
         return [0.0] * n_cells
     pads = (-len(a)) % n_cells
     a = np.pad(a, (0, pads), constant_values=0)
-    return np.round(a.reshape(n_cells, -1).mean(axis=1), 4).tolist()
+    # 8 dp (r13): 4 dp capped the integer-exact byte_sum reconstruction at
+    # ~10 KB payloads; 8 dp + per-block rounding extends it to ~1.6 GB
+    return np.round(a.reshape(n_cells, -1).mean(axis=1), 8).tolist()
 
 
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +120,7 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats = [
                 None
                 if buf is None
-                else ",".join(f"{v:.4f}" for v in _decode_fake(buf, THUMB * THUMB))
+                else ",".join(f"{v:.8f}" for v in _decode_fake(buf, THUMB * THUMB))
                 for buf in pb["payload"]
             ]
             yield pd.DataFrame(
@@ -180,33 +182,38 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-validating per-doc summary over the decode pipeline (see
     decode_features for the mapInPandas decode itself): the 16 decoded
     block means are parsed back from the CSV JVM-side and folded into the
-    payload's reconstructed byte total — round(Σ features × block_len),
-    integer-exact because the 4-decimal feature rounding bounds the error
-    by 16·5e-5·block_len < 0.5, i.e. block_len ≤ 624 ⇔ payloads under
-    ~10 KB (625·16 bytes; ADVICE r06 corrected the earlier ~600 KB
-    claim). Corpus docs are <1 KB, and a payload PAST the envelope now
-    raises loudly instead of silently drifting the reconstruction off by
-    one and hash-mismatching the oracle (a real thumbnail pipeline keeps
-    cells ∝ payload anyway, staying inside the bound by construction)."""
+    payload's reconstructed byte total — Σ round(feature × block_len),
+    integer-exact because each block's 8-decimal mean bounds the
+    per-block error by 5e-9·block_len < 0.5, i.e. block_len < 1e8 ⇔
+    payloads under ~1.6 GB (r13: the old Σ-then-round at 4 dp capped at
+    ~10 KB, which the long-document rehearsal corpus exceeds). A payload
+    PAST the envelope still raises loudly instead of silently drifting
+    the reconstruction off by one and hash-mismatching the oracle."""
     d = decode_features(spark, sf_dir)
     block_len = F.ceil(F.col("n_bytes") / F.lit(THUMB * THUMB)).cast("long")
-    feat_sum = F.aggregate(
+    # Per-BLOCK rounding (r13): each block's true byte sum is an integer
+    # S_i and its 8-dp mean satisfies |m_i·L − S_i| ≤ 5e-9·L, so
+    # round(m_i·L) = S_i exactly while L < 1e8 — payloads to ~1.6 GB
+    # (the old Σ-then-round at 4 dp capped out at ~10 KB, which a
+    # long-document corpus exceeds routinely).
+    blocks_sum = F.aggregate(
         F.transform(F.split("features", ","), lambda s: s.cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.round(x * block_len.cast("double")).cast("long"),
     )
     byte_sum = F.when(
-        block_len > 624,
+        block_len > 100_000_000,
         F.raise_error(
             F.concat(
                 F.lit(
                     "multimodal_decode_pipeline: payload exceeds the "
-                    "integer-exact reconstruction envelope (~10 KB) for doc_id "
+                    "integer-exact reconstruction envelope (~1.6 GB) for doc_id "
                 ),
                 F.col("doc_id").cast("string"),
             )
         ).cast("long"),
-    ).otherwise(F.round(feat_sum * block_len).cast("long"))
+    ).otherwise(blocks_sum)
     return d.select(
         "doc_id",
         "width",
@@ -241,22 +248,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when-guard: a sub-16-byte payload has no frames — sequence(0, -1, 4)
     # is an "illegal boundaries" ERROR in Spark (explicit step), where the
     # oracle's generate_series(0, -1, 4) is just empty (r12 short-payload
-    # hardening); NULL payloads already explode to nothing on both engines
+    # hardening); NULL payloads already explode to nothing on both engines.
+    # r13 long-doc fix: the old shape exploded frame indices FIRST and
+    # substring'd the text per frame row — substring(text, s*16+1, ..) is
+    # an O(offset) scan (O(len²/16) per doc) AND the full text column was
+    # copied into every generated row. The frames are now built as a
+    # per-doc struct array over a bound char array (slice is O(16)), and
+    # only the small (s, md5) structs are exploded.
+    # frame chars via O(1) access, not slice() — slice inside a lambda
+    # runs interpreted and copies the whole char array per frame; indices
+    # s*16 .. s*16+15 are in bounds by nf = floor(len/16)
+    frames = F.expr(
+        "transform(frame_starts, s -> struct(s AS s,"
+        " md5(cast(concat_ws('', transform(sequence(s * 16, s * 16 + 15),"
+        " j -> chs[j])) as binary)) AS frame_md5))"
+    )
     d = d.select(
         "doc_id",
-        "text",
-        F.explode(
-            F.when(
-                n_frames >= 1,
-                F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(4)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("s"),
-    )
+        F.split("text", "").alias("chs"),
+        F.when(
+            n_frames >= 1,
+            F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(4)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("frame_starts"),
+    ).select("doc_id", F.explode(frames).alias("fr"))
     return d.select(
         "doc_id",
-        (F.col("s") / 4).cast("long").alias("frame_idx"),
-        (F.col("s") * 16).cast("long").alias("byte_offset"),
-        F.md5(F.substring("text", F.col("s") * 16 + 1, 16).cast("binary")).alias(
-            "frame_md5"
-        ),
+        (F.col("fr.s") / 4).cast("long").alias("frame_idx"),
+        (F.col("fr.s") * 16).cast("long").alias("byte_offset"),
+        F.col("fr.frame_md5").alias("frame_md5"),
     )

@@ -105,15 +105,20 @@ def pipeline_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def shingles(col: str = "ts") -> F.Column:
         # empty-array guard: sequence(1, 0) infers step -1 and yields
-        # [1, 0] (then slice(col, 0, 5) throws) — a <SHINGLE-token doc
-        # must produce NO shingles, matching the oracle's empty range
+        # [1, 0] (then element i=0 is out of bounds) — a <SHINGLE-token
+        # doc must produce NO shingles, matching the oracle's empty range.
+        # Tokens via O(1) element_at, not slice() — slice inside a lambda
+        # runs interpreted and copies the whole array per shingle (r13
+        # long-doc fix); i..i+SHINGLE-1 are in bounds under the gate.
         return F.array_distinct(
             F.transform(
                 F.when(
                     F.size(col) >= _SHINGLE,
                     F.sequence(F.lit(1), F.size(col) - (_SHINGLE - 1)),
                 ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.concat_ws(" ", F.slice(col, i, _SHINGLE)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col(col), i + j) for j in range(_SHINGLE)]
+                ),
             )
         )
 

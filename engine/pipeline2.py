@@ -134,10 +134,12 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize once into `t` per consumer (r06): Catalyst does not CSE the
     # repeated split(text) across the lambda scope, so the old inline form
     # re-split every row three times inside the shingle fan-out.
+    # shingle tokens via O(1) access, not slice() — slice inside a lambda
+    # runs interpreted and copies the whole token array per shingle (r13)
     shingle_expr = F.expr(
         "CASE WHEN size(t) >= 5 THEN "
         "transform(sequence(1, size(t) - 4), "
-        "i -> concat_ws(' ', slice(t, i, 5))) "
+        "i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3])) "
         "ELSE array() END"
     )
     evsh = (

@@ -105,7 +105,13 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling, no duplicated transform in a pushed-down explode filter —
     see engine.textops.word_ngram_ids / explode_nonempty."""
     d = load(spark, sf_dir, "documents")
-    sh = word_ngram_ids(d, 3)
+    # persisted: sh feeds three join inputs, and the joins push inferred
+    # isnotnull filters into the gram projection, re-inlining split(text)
+    # per lambda element — O(tokens²) on a long doc (r13; see
+    # _ngram_jaccard_kernel's docstring for the full mechanism)
+    from pyspark import StorageLevel
+
+    sh = word_ngram_ids(d, 3).persist(StorageLevel.MEMORY_AND_DISK)
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")

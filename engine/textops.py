@@ -33,10 +33,16 @@ _POLY = "(acc * 131 + c) % 2147483647"
 
 
 def _tok_hash_expr(col: str) -> str:
-    """Spark SQL expr hashing a token string column."""
+    """Spark SQL expr hashing a token string column. Folds over
+    split(col, '') — a char array built ONCE — instead of per-index
+    substring(col, j, 1), which scans from the string start every call
+    (UTF8String has no O(1) char offsets), i.e. O(len²) on a long token
+    (r13 long-doc fix). Empty token: split('','') = [''] and ascii('') =
+    0, so the fold yields 0 — identical to the old sequence(1, 0) path
+    and the oracles' list_reduce over range(1, 1) = []."""
     return (
-        f"aggregate(transform(sequence(1, length({col})), "
-        f"j -> ascii(substring({col}, j, 1))), cast(0 as bigint), (acc, c) -> {_POLY})"
+        f"aggregate(transform(split({col}, ''), c -> ascii(c)), "
+        f"cast(0 as bigint), (acc, c) -> {_POLY})"
     )
 
 
@@ -71,12 +77,26 @@ def word_ngram_ids(d: DataFrame, n: int = 3) -> DataFrame:
     # (empty/short text) must produce an EMPTY gram set, matching the
     # oracles' range(1, 0) = [] and their NULL 0/0 exclusion (r12 fix,
     # caught by the subset-dup collapse test).
+    # toks is BOUND in its own projection and grams are built from O(1)
+    # ELEMENT access (r13 long-doc fix): an inline split(text) inside the
+    # lambda re-tokenizes the document per gram, and even over a bound
+    # array, slice() inside a lambda runs interpreted (no whole-stage
+    # codegen in higher-order functions) and copies the WHOLE array per
+    # call — both are O(tokens²) per doc (probe: 2k/8k/32k chars →
+    # 0.9/3.3/41 s for slice vs flat 0.2-0.4 s for arr[i]). Indices are
+    # provably in bounds under the size guard, so ANSI GetArrayItem never
+    # throws.
+    gram = ", ".join(f"toks[i + {j - 1}]" for j in range(n))
     expr = (
-        f"CASE WHEN size(split(text,' ')) < {n} THEN cast(array() as array<bigint>)"
-        f" ELSE array_distinct(transform(sequence(1, size(split(text,' '))-{n - 1}),"
-        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n}))))) END"
+        f"CASE WHEN size(toks) < {n} THEN cast(array() as array<bigint>)"
+        f" ELSE array_distinct(transform(sequence(1, size(toks)-{n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', {gram})))) END"
     )
-    return spread_cpu(d).select("doc_id", F.expr(expr).alias("s"))
+    return (
+        spread_cpu(d)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(expr).alias("s"))
+    )
 
 
 def explode_nonempty(df: DataFrame, arr: str, out: str) -> DataFrame:
@@ -260,14 +280,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes two phantom windows for a sub-8-char doc; the oracle's
     # range(1, 1) = [] yields NULL fingerprint + 0 windows instead (r12
     # short-text fix — array_min(empty) is null on both engines).
+    # cd (the per-char code array) is BOUND in its own projection and each
+    # window folds via O(1) ELEMENT access (r13 long-doc fix): per-index
+    # substring(text, i + j, 1) scans from the string start every call,
+    # and slice(cd, i, 8) inside a lambda runs interpreted and copies the
+    # whole array per window — both O(len²) per doc. cd[i + j - 1] (ANSI
+    # 0-based, provably in bounds under the size guard) is O(1).
     hs = F.expr(
-        "CASE WHEN text IS NULL OR length(text) < 8 THEN cast(array() as array<bigint>)"
-        " ELSE transform(sequence(1, length(text) - 7),"
-        " i -> aggregate(transform(sequence(0, 7),"
-        "   j -> ascii(substring(text, i + j, 1))),"
-        f"  cast(0 as bigint), (acc, c) -> {_POLY})) END"
+        "CASE WHEN cd IS NULL OR size(cd) < 8 THEN cast(array() as array<bigint>)"
+        " ELSE transform(sequence(1, size(cd) - 7),"
+        " i -> aggregate(transform(sequence(0, 7), j -> cd[i + j - 1]),"
+        f" cast(0 as bigint), (acc, c) -> {_POLY})) END"
     )
     return d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN text IS NULL OR length(text) < 8 THEN"
+            " cast(NULL as array<int>)"
+            " ELSE transform(split(text, ''), c -> ascii(c)) END"
+        ).alias("cd"),
+    ).select(
         "doc_id",
         F.array_min(hs).alias("fingerprint"),
         F.size(F.array_distinct(hs)).alias("n_distinct_windows"),
@@ -400,7 +432,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ngram_grp",
     )
     reps = grp.select("doc_id", "text")
-    sh_reps = word_ngram_ids(reps, 3)
+    # persisted BEFORE the kernel: the intra branch's nn join below would
+    # otherwise push an inferred isnotnull filter into the gram projection
+    # and re-inline split(text) per lambda element (see kernel docstring)
+    from pyspark import StorageLevel
+
+    sh_reps = word_ngram_ids(reps, 3).persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = _ngram_jaccard_kernel(reps, sh=sh_reps)
     ma = grp.select(F.col("doc_id").alias("a_id"), F.col("members").alias("members_a"))
     mb = grp.select(F.col("doc_id").alias("b_id"), F.col("members").alias("members_b"))
@@ -436,9 +473,20 @@ def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFram
     relation (see dedup_ngram_jaccard) — extracted r11 so the collapse
     path can run it over representatives with an identical plan. Pass a
     precomputed `sh` (word_ngram_ids output) to share the shingle
-    subtree with other consumers."""
+    subtree with other consumers.
+
+    sh is PERSISTED here (r13 long-doc fix): it feeds four join inputs
+    (inv×2, sizes×2), and joins make InferFiltersFromConstraints push an
+    inferred isnotnull(size(grams)) filter BELOW the defining projection
+    — alias substitution re-inlines split(text) INTO the gram lambda,
+    resurrecting the O(tokens²) per-doc shape no projection binding can
+    prevent. The materialization barrier stops pushdown/inlining AND the
+    4× recompute; same persist rationale as minhash_near_pairs' mins."""
+    from pyspark import StorageLevel
+
     if sh is None:
         sh = word_ngram_ids(d, 3)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")

@@ -86,18 +86,29 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the only knob is output partition sizing: chunk fan-out
     multiplies bytes ~1.33x (overlap/stride), so repartition before a
     parquet sink to keep file sizes bounded."""
-    toks = F.split(F.col("text"), " ")
-    df = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), F.size(toks) - 1, F.lit(STRIDE))).alias("s"),
+    # r13 long-doc fix: the old shape exploded chunk starts alongside the
+    # full toks array, copying the whole token array into EVERY chunk row
+    # (O(tokens × n_chunks) bytes on a long doc). The chunks are now built
+    # as a per-doc struct array — total bytes ~1.33× the text — and only
+    # the small (s, chunk) structs are exploded.
+    # chunk elements via O(1) access, not slice() — slice inside a lambda
+    # runs interpreted and copies the WHOLE token array per chunk
+    chunks = F.expr(
+        f"transform(sequence(0, size(toks) - 1, {STRIDE}),"
+        f" s -> struct(s AS s,"
+        f" transform(sequence(s, least(size(toks), s + {CHUNK}) - 1),"
+        f" j -> toks[j]) AS c))"
     )
-    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK)
+    df = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(chunks).alias("ch"))
+    )
     return df.select(
         "doc_id",
-        (F.col("s") / STRIDE).cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        (F.col("ch.s") / STRIDE).cast("long").alias("chunk_idx"),
+        F.size("ch.c").cast("long").alias("n_tokens"),
+        F.array_join("ch.c", " ").alias("chunk_text"),
     )
 
 
@@ -272,17 +283,24 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — the oracle's range(1, 1) = [] → list_aggregate(min) = NULL.
     The CASE guard (not greatest()) avoids sequence(1, 0) = [1, 0], whose
     i=0 entry makes element_at() throw (r12 short-text fix)."""
+    # toks is BOUND in its own projection (r13 long-doc fix): the old
+    # inline element_at(split(text, ' '), i) re-tokenized the document per
+    # shingle — O(tokens²) per doc, which hung this key on a 1M-token doc.
+    # The inner per-char fold runs over split(s, '') (each shingle is ~3
+    # words, so it was never the hot loop, but substring(s, j, 1) is
+    # O(j) on UTF8String regardless).
     hh = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 3 THEN cast(array() as array<bigint>) ELSE "
-        "transform(transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1), ' ',"
-        "             element_at(split(text, ' '), i + 2))),"
-        " s -> aggregate(transform(sequence(1, length(s)),"
-        "        j -> ascii(substring(s, j, 1))),"
+        "CASE WHEN size(toks) < 3 THEN cast(array() as array<bigint>) ELSE "
+        "transform(transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])),"
+        " s -> aggregate(transform(split(s, ''), c -> ascii(c)),"
         "      cast(0 as bigint), (acc, c) -> (acc * 131 + c) % 2147483647)) END"
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", hh.alias("hh"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", hh.alias("hh"))
+    )
     return d.select(
         "doc_id",
         *[

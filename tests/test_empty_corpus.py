@@ -546,3 +546,81 @@ def test_unicode_case_mapping_divergence_pinned(spark, unicode_dir, unicode_duck
         " t -> length(t) > 1), ' ') AS n FROM documents WHERE doc_id = 34"
     ).fetchone()[0]
     assert du == "istanbul istanbul istanbul ıstanbul"
+
+
+# r13 LONG-DOCUMENT corpus (seventh axis): heavy-tailed doc lengths are
+# the real crawl shape (one multi-MB concatenated dump among normal
+# docs). An engine-side sweep with a 1M-token / 5 MB doc found a whole
+# QUADRATIC-in-doc-length class: per-index substring(text, i, k) scans
+# from the string start every call (no O(1) char offsets on UTF8String),
+# split(text) referenced inside a lambda re-tokenizes per element, and
+# slice(arr, i, k) inside a lambda runs interpreted (no codegen in
+# higher-order functions) and copies the WHOLE array per call — plus
+# join-inferred isnotnull filters pushing BELOW the gram projection and
+# re-inlining split() into the lambda (fixed with a persist barrier).
+# Eight kernels hung or ground for minutes on ONE such doc; all now run
+# the 1M-token corpus in seconds (docs/SCALE.md r13). This fixture is
+# parity-SIZED (5k/2k tokens): the DuckDB oracles themselves are
+# quadratic on million-token docs (string_split per lambda element), so
+# correctness pins run here and the 1M-token timing evidence lives in
+# the rehearsal record.
+LONG_DOC_KEYS = [
+    "dedup_minhash_signature",   # element_at shingles, inner char fold
+    "dedup_near_minhash",        # bound char-array 5-gram shingles
+    "dedup_ngram_jaccard",       # persist barrier vs filter re-inline
+    "text_containment",          # same kernel + persist barrier
+    "text_fingerprint",          # bound code array, O(1) window folds
+    "text_decontaminate",        # element_at shingles
+    "text_chunk_overlap",        # struct-array explode, no toks copy
+    "multimodal_frame_sample",   # struct-array explode, O(1) frame chars
+    "multimodal_signal_energy",  # bound code array, O(1) frame folds
+    "multimodal_decode_pipeline",  # 8dp + per-block round: ~1.6 GB envelope
+    "dedup_simhash",             # char-array token hash
+    "pipeline_dedup_cascade",    # composes the fixed minhash kernel
+]
+
+
+@pytest.fixture(scope="module")
+def long_doc_dir(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("sg_longdoc")
+    rng = random.Random(13)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    long_text = " ".join(rng.choice(vocab) for _ in range(5_000))
+    mid_text = " ".join(rng.choice(vocab) for _ in range(2_000))
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            df = tb.to_pandas()
+            df.loc[df.doc_id == 50, "text"] = long_text
+            df.loc[df.doc_id == 51, "text"] = mid_text
+            df.loc[df.doc_id == 52, "text"] = mid_text  # dup long pair
+            tb = pa.Table.from_pandas(df, schema=tb.schema, preserve_index=False)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def long_doc_duck(long_doc_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{long_doc_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", LONG_DOC_KEYS)
+def test_long_doc_corpus_oracle_parity(spark, long_doc_dir, long_doc_duck, key):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, long_doc_dir).toPandas()
+    if key not in oracles:
+        assert len(sp) > 0  # ROWS-only key (xxhash64 banding)
+        return
+    du = long_doc_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
