@@ -214,11 +214,15 @@ def agg_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_cosine_histogram",
     oracle="""
-    WITH pairs AS (
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+    ),
+    pairs AS (
       SELECT a.vec_id,
              round(list_dot_product(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 4) AS cos
-      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 97
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 97
     )
     SELECT CAST(least(floor((cos + 1.0) / 0.2), 9) AS INT) AS bin,
            count(*) AS n,
@@ -240,7 +244,9 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 4 before binning so bin edges are engine-stable. 100 TB:
     the audit scales as O(n) pairs; widen the sample by adding more shift
     offsets, never by pairing all-vs-all."""
-    e = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    e = vectors(spark, sf_dir)
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(
         (F.col("vec_id") - 97).alias("join_id"), F.col("embedding").alias("eb")

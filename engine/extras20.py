@@ -197,6 +197,7 @@ _JL_K = 16
       FROM embeddings,
            UNNEST(range(0, len(embedding))) AS t(j),
            UNNEST(range(0, {_JL_K})) AS u(k)
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     )
     SELECT vec_id, CAST(k AS INT) AS k,
            round(sum(term) / sqrt({_JL_K}.0), 4) + 0.0 AS proj

@@ -29,8 +29,12 @@ _NDCG_QUERIES = [0, 50, 100, 150, 200]
 @query(
     "sim_eval_ndcg",
     oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding, label FROM embeddings
+    WITH v AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding, label FROM v
       WHERE vec_id IN ({", ".join(str(i) for i in _NDCG_QUERIES)})
     ),
     ranked AS (
@@ -40,7 +44,7 @@ _NDCG_QUERIES = [0, 50, 100, 150, 200]
                ORDER BY list_dot_product(q.embedding::DOUBLE[],
                                          e.embedding::DOUBLE[]) DESC,
                         e.vec_id) AS rnk
-      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      FROM q JOIN v e ON e.vec_id != q.query_id
     ),
     top5 AS (SELECT * FROM ranked WHERE rnk <= 5),
     dcg AS (
@@ -77,7 +81,9 @@ def sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric itself runs over 25 ranked rows. 100 TB: swap the scorer for
     the stored-index serve path (pipeline_ann_index_build) and the
     metric stage is unchanged — eval math never touches corpus scale."""
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     q = emb.filter(F.col("vec_id").isin(_NDCG_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

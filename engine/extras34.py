@@ -28,14 +28,14 @@ from engine.tables import load
     WITH comp AS (
       SELECT t.j, sum(CAST(embedding[CAST(t.j + 1 AS INT)] AS DOUBLE)) AS s
       FROM embeddings, UNNEST(range(0, len(embedding))) AS t(j)
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
       GROUP BY t.j
     ),
     norms AS (
       SELECT count(*) AS n,
              sum(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS sum_sq
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     ),
     agg AS (
       SELECT (SELECT sum(s * s) FROM comp) AS sum_vec_sq,

@@ -285,7 +285,8 @@ def _dot(x: Column, c: Column) -> Column:
 # The k-means CTE chain shared by the emb_kmeans_lloyd oracle and the
 # dedup_semdedup oracle (SemDeDup clusters with the same Lloyd step).
 _KMEANS_CTES = """
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)),
     c0 AS (SELECT vec_id AS cid, x AS cl FROM emb
            WHERE vec_id < (SELECT least(greatest(4, count(*) // 125), 64)
                            FROM emb)),
@@ -352,7 +353,12 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _ASSIGN_CACHE.get(ck)
     if cached is not None:
         return cached
-    emb = load(spark, sf_dir, "embeddings").select(
+    from engine.tables import vectors
+
+    # vectors(): NULL and wrong-dim embeddings are un-embeddable in the
+    # cluster space (r13 ragged contract); k counts usable vectors only,
+    # matching the oracles' filtered emb CTE
+    emb = vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
     krel = emb.agg(
@@ -505,7 +511,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora take the original path bit-identically plus the probe."""
     from engine.tables import all_rows_distinct, swap_persist
 
-    emb_raw = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors as _vectors
+
+    emb_raw = _vectors(spark, sf_dir)
     if all_rows_distinct(
         spark, f"{sf_dir}/embeddings.parquet", emb_raw, "embedding"
     ):
@@ -591,7 +599,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically at the cost of the one probe job."""
     from engine.tables import all_rows_distinct, swap_persist
 
-    emb_raw = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors as _vectors
+
+    emb_raw = _vectors(spark, sf_dir)
     emb = emb_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )

@@ -499,8 +499,17 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
         t = pq.read_table(path, columns=["vec_id", "embedding"])
         # vector-family contract (engine.tables.vectors): NULL vectors are
         # dropped — flatten() silently skips null lists, so without this
-        # the reshape misaligns ids against vectors (r12)
+        # the reshape misaligns ids against vectors (r12) — and WRONG-DIM
+        # vectors (failed/partial inference) are excluded too (r13 ragged
+        # sweep: np reshape "all input arrays must have the same shape"):
+        # the side matrix lives in the corpus's modal-dim subspace.
         t = t.drop_null()
+        if t.num_rows:
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(t.column("embedding"))
+            modal = pc.mode(lens, n=1).to_pylist()[0]["mode"]
+            t = t.filter(pc.equal(lens, modal))
         b_ids = t.column("vec_id").to_numpy()
         flat = t.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False
@@ -534,6 +543,11 @@ def _broadcast_side(spark, sf_dir: str, emb) -> tuple:
             .select("vec_id", "embedding")
             .toPandas()
         )
+        if len(side):
+            # ragged guard (r13): keep only the modal dim, ties smaller —
+            # same contract as the pyarrow fast path above
+            lens = side["embedding"].map(len)
+            side = side[lens == lens.mode().min()]
         b_ids = side["vec_id"].to_numpy()
         from pyspark.sql.types import FloatType
 
@@ -568,6 +582,8 @@ def _dot(a, b):  # JVM-side higher-order dot product, float→double first
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        AND len(a.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+        AND len(b.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )
@@ -599,8 +615,10 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
+    from engine.tables import vectors
+
     k = 10
-    emb = load(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     # Broadcast side: the full id+matrix pair (float32 — source precision —
     # once, not per-pair), size-gated + pyarrow-direct via the shared helper;
     # side_key lets reused workers skip re-deserializing it per task.
@@ -675,12 +693,14 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_knn_query",
     oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+    )
     SELECT vec_id, label, sim FROM (
       SELECT e.vec_id, e.label,
              round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS sim
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
-           (SELECT embedding FROM embeddings
-            WHERE vec_id = 0 AND embedding IS NOT NULL) p
+      FROM v e, (SELECT embedding FROM v WHERE vec_id = 0) p
       WHERE e.vec_id <> 0
     ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
@@ -689,9 +709,9 @@ def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN of one probe vector (vec_id=0): broadcast the single probe row,
     JVM-side dot, top-k heap. The probe side is O(1) — this shape scales to
     any corpus size with zero shuffle (scan + local top-k + driver merge)."""
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
     return (
         emb.filter(F.col("vec_id") != 0)

@@ -43,7 +43,7 @@ _NPROBE = 3
              round(list_dot_product(q.embedding::DOUBLE[],
                                     e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id != q.query_id
-      WHERE e.embedding IS NOT NULL
+      WHERE e.embedding IS NOT NULL AND len(e.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     ),
     ranked AS (
       SELECT query_id, neighbor_id, sim,

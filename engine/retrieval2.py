@@ -38,13 +38,15 @@ from engine.tables import load
              row_number() OVER (ORDER BY tf DESC, doc_id) AS r_lex
       FROM lex WHERE tf > 0
     ),
+    vv AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+    ),
     vec AS (
       SELECT e.vec_id AS doc_id,
              round(list_dot_product(e.embedding::DOUBLE[],
                                     p.embedding::DOUBLE[]), 4) AS sim
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
-           (SELECT embedding FROM embeddings
-            WHERE vec_id = 0 AND embedding IS NOT NULL) p
+      FROM vv e, (SELECT embedding FROM vv WHERE vec_id = 0) p
       WHERE e.vec_id <> 0
     ),
     vecrank AS (

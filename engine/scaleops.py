@@ -456,6 +456,7 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN embedding[CAST(i AS INT) + 32] > 0
                            THEN (2.0 ^ (CAST(i AS INT) - 1))::BIGINT ELSE 0 END) AS BIGINT) AS bits_hi
       FROM embeddings, UNNEST(range(1, 33)) AS t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
       GROUP BY vec_id
     ),
     ref AS (SELECT bits_lo AS rlo, bits_hi AS rhi FROM q ORDER BY vec_id LIMIT 1)
@@ -477,7 +478,9 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming re-ranking is two codegen'd ALU ops per comparison, so a
     billion-vector scan becomes memory-bandwidth-bound rather than
     FLOP-bound."""
-    emb = load(spark, sf_dir, "embeddings")
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     word = (
         "CAST(aggregate(sequence(1, 32), 0L, (a, i) -> a + IF("
         "element_at(embedding, CAST(i + {off} AS INT)) > 0,"

@@ -32,12 +32,19 @@ _COS_THRESH = 0.4  # corpus max pair-sim is 0.51; 0.4 keeps a small stable set
 
 @query(
     "dedup_embedding_cosine",
+    # dim filter in a CTE, not a WHERE conjunct: DuckDB may evaluate the
+    # list_dot_product conjunct before the dim check on the same filter,
+    # crashing on mismatched lengths (r13 ragged hardening)
     oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+    )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_THRESH}
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_THRESH}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,8 +68,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     from engine.llmops import _side_broadcast
+    from engine.tables import vectors
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     bc, side_key = _side_broadcast(spark, sf_dir, emb)
     thresh = _COS_THRESH
 
@@ -126,6 +134,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        AND len(a.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+        AND len(b.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )

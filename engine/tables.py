@@ -145,15 +145,53 @@ def sftag(sf_dir: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
 
 
+_EMB_DIM_CACHE: dict[tuple, "int | None"] = {}
+
+# SQL twin of emb_dim() for the vector-family oracles: the corpus's modal
+# embedding dimensionality (ties broken to the smaller dim). DuckDB scalar
+# subquery; NULL (hence an all-false predicate) on an all-NULL/empty corpus,
+# where the engine side is empty anyway.
+VEC_DIM_SQL = (
+    "(SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL"
+    " GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)"
+)
+
+
+def emb_dim(spark: SparkSession, sf_dir: str) -> "int | None":
+    """Modal embedding dimensionality of the corpus (ties to the smaller
+    dim) — ONE tiny columnar agg job, cached per (applicationId, sf_dir)
+    like the footer-row probe; None on an all-NULL/empty corpus."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        for k in [k for k in _EMB_DIM_CACHE if k[0] != app]:
+            _EMB_DIM_CACHE.pop(k, None)
+        row = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .groupBy(F.size("embedding").alias("d"))
+            .count()
+            .orderBy(F.col("count").desc(), F.col("d"))
+            .first()
+        )
+        _EMB_DIM_CACHE[key] = None if row is None else int(row["d"])
+    return _EMB_DIM_CACHE[key]
+
+
 def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with NULL vectors dropped — the vector-family contract
-    (r12): vector math ignores NULL embeddings the way SQL aggregates
-    ignore NULL scalars. A NULL vector (left-join enrichment miss, failed
-    inference) must not crash a kernel (np.stack shape error), silently
-    pair with other NULLs, or crash the oracle's list_inner_product; keys
-    under this contract carry `WHERE embedding IS NOT NULL` in their
-    oracles too. A no-op filter on corpora without NULLs."""
-    return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    """embeddings restricted to usable vectors — the vector-family contract
+    (r12 NULLs, r13 ragged dims): vector math ignores NULL embeddings the
+    way SQL aggregates ignore NULL scalars, and a WRONG-DIMENSION vector
+    (failed/partial inference — the r13 ragged sweep crashed 10 keys on
+    np.stack/reshape/element_at and even DuckDB's list_inner_product) is
+    un-embeddable in the corpus's vector space, so it is excluded the same
+    way: the vector table IS the modal-dim subspace. Keys under this
+    contract carry `embedding IS NOT NULL AND len(embedding) = VEC_DIM_SQL`
+    in their oracles. A no-op double filter on clean corpora; the size
+    predicate is a plan literal (pushable) from the cached one-job probe."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    d = emb_dim(spark, sf_dir)
+    return e if d is None else e.filter(F.size("embedding") == d)
 
 
 def lit_table(spark: SparkSession, rows: list, cols: list[str]) -> DataFrame:

@@ -141,6 +141,8 @@ def etl_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        AND len(a.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
+        AND len(b.embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     ) ORDER BY sim DESC, a_id, b_id LIMIT 10
     """,
 )
@@ -609,7 +611,7 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_vectors,
            CAST(0 AS BIGINT) AS bessel_violations,
            TRUE AS orth_ok, TRUE AS var_desc_ok, TRUE AS explained_ok
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     """,
 )
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +669,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT label,
                       sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[])) AS nrm
-               FROM embeddings WHERE embedding IS NOT NULL)
+               FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1))
     SELECT label, count(*) AS n_vectors,
            round(min(nrm), 6) AS min_norm,
            round(max(nrm), 6) AS max_norm,

@@ -624,3 +624,71 @@ def test_long_doc_corpus_oracle_parity(spark, long_doc_dir, long_doc_duck, key):
         return
     du = long_doc_duck.sql(oracles[key]).df()
     assert_frames_match(sp, du, key)
+
+
+# r13 RAGGED-EMBEDDING corpus (eighth axis): wrong-dimension vectors from
+# failed/partial inference — the enrichment-corruption shape the
+# NULL-embedding axis doesn't cover. Sweep of all 364 keys with dims
+# 32/32/1 injected among 64s: 12 keys crashed (np.stack "all input arrays
+# must have the same shape", reshape misalignment, ANSI element_at OOB)
+# or died in the ORACLE (DuckDB list_inner_product rejects mismatched
+# dims). Contract (engine.tables.vectors, extending the r12 NULL rule):
+# a wrong-dim vector is un-embeddable in the corpus's vector space — the
+# vector table IS the modal-dim subspace (ties to the smaller dim; one
+# cached probe job per corpus; oracles carry the matching
+# len(embedding) = <modal subquery> predicate, structurally BEFORE any
+# list_dot_product so DuckDB cannot reorder the conjuncts into a crash).
+RAGGED_EMB_KEYS = [
+    "dedup_embedding_cosine",
+    "dedup_semdedup",
+    "emb_binary_quantize",
+    "emb_cosine_histogram",
+    "emb_kmeans_lloyd",
+    "emb_pca_project",
+    "emb_random_projection_jl",
+    "sim_ann_ivf",
+    "sim_ann_rp_lsh",
+    "sim_eval_ndcg",
+    "sim_knn_query",
+    "sim_topk_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def ragged_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("sg_ragged")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "embeddings":
+            df = tb.to_pandas()
+            for vid, keep in ((11, 32), (12, 32), (13, 1)):
+                df.loc[df.vec_id == vid, "embedding"] = df.loc[
+                    df.vec_id == vid, "embedding"
+                ].map(lambda v, k=keep: v[:k])
+            tb = pa.Table.from_pandas(df, schema=tb.schema, preserve_index=False)
+        pq.write_table(tb, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def ragged_emb_duck(ragged_emb_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{ragged_emb_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", RAGGED_EMB_KEYS)
+def test_ragged_emb_corpus_oracle_parity(
+    spark, ragged_emb_dir, ragged_emb_duck, key
+):
+    from engine.registry import collect
+
+    queries, oracles = collect()
+    fn = getattr(queries[key], "__wrapped__", queries[key])
+    sp = fn(spark, ragged_emb_dir).toPandas()
+    du = ragged_emb_duck.sql(oracles[key]).df()
+    assert_frames_match(sp, du, key)
