@@ -108,10 +108,12 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: sh feeds three join inputs, and the joins push inferred
     # isnotnull filters into the gram projection, re-inlining split(text)
     # per lambda element — O(tokens²) on a long doc (r13; see
-    # _ngram_jaccard_kernel's docstring for the full mechanism)
-    from pyspark import StorageLevel
+    # _ngram_jaccard_kernel's docstring for the full mechanism). Routed
+    # through swap_persist (r14 ADVICE) so each re-invocation evicts the
+    # previous cached relation instead of accumulating across a sweep.
+    from engine.tables import swap_persist
 
-    sh = word_ngram_ids(d, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = swap_persist(spark, word_ngram_ids(d, 3), "containment_sh")
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")

@@ -195,72 +195,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # greens (TPC-H core + udaf/udf/udtf/unpivot) then the 34 oldest r04
 # greens. Came back 50/50 green (CORRECTNESS_r12.json).
 #
-# r13 window (this list): the final 14 r04 greens (the whole remaining
-# pre-r05 tier: stream_* state keys, text_containment/decontaminate/
-# keyword/pack/repetition/vocab, udtf_arrow_expand, win_pattern_match)
-# then the 36 oldest r05 greens, alphabetical within each staleness
-# tier. Derived by `python scripts/next_window.py 13` against the REAL
-# on-disk CORRECTNESS_r01..r12 evidence at r13 open (r12 came back
-# 50/50 green, so the derivation equals the r12-close rehearsal
-# verbatim — verified by re-running the script, not by pasting).
-# tests/test_registry_window.py::test_window_equals_policy_output pins
-# this list == policy output; a hand-edit that diverges fails the suite.
-# r14 expectation: next_window.py 14 → the remaining r05 greens plus
-# the oldest r06 greens (re-run the script at the boundary, don't
-# paste — a red r13 key re-enters and displaces rotation slots).
-_WINDOW_ROUND = 13  # CORRECTNESS_r{N}.json this window is aimed at
+# r13 window: the final 14 r04 greens + the 36 oldest r05 greens.
+# Came back 50/50 green (CORRECTNESS_r13.json).
+#
+# r14 window (this list): the final 14 r05 greens (the whole remaining
+# pre-r06 tier: scan_partition_prune, scan_python_stream_source,
+# sink_compression_codecs, sort_multi_nulls, sql_cache/ddl/param,
+# text_perplexity/quality_logreg/zipf, udaf_arrow_group,
+# win_anomaly/ewma/gaps) then the 36 oldest r06 greens, alphabetical
+# within each staleness tier. Derived by `python scripts/next_window.py
+# 14` against the REAL on-disk CORRECTNESS_r01..r13 evidence at r14
+# open (r13 came back 50/50 green, so the derivation equals the
+# pre-registered rotation — verified by re-running the script, not by
+# pasting). tests/test_registry_window.py pins this list == policy
+# output; a hand-edit that diverges fails the suite.
+# r15 expectation: next_window.py 15 → the remaining r06 greens plus
+# the oldest r07 greens (re-run the script at the boundary, don't
+# paste — a red r14 key re-enters and displaces rotation slots).
+_WINDOW_ROUND = 14  # CORRECTNESS_r{N}.json this window is aimed at
 
 _ATTEST_FIRST = [
-    "stream_session_30m",
-    "stream_sliding_1h_15m",
-    "stream_stateful_counter",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_watermark_dedup",
-    "text_containment",
-    "text_decontaminate",
-    "text_keyword_topterm",
-    "text_pack_sequences",
-    "text_repetition_ratio",
-    "text_vocab_coverage",
-    "udtf_arrow_expand",
-    "win_pattern_match",
-    "agg_bitmap_distinct",
-    "agg_entropy_token",
-    "agg_group_hash",
-    "agg_ks_drift",
-    "agg_percentile",
-    "agg_quantile_bins",
-    "agg_skew_kurtosis",
-    "agg_weighted_percentile",
-    "dedup_cross_source",
-    "dedup_paragraph_chunks",
-    "dedup_semdedup",
-    "emb_binary_quantize",
-    "emb_kmeans_lloyd",
-    "emb_matryoshka_truncate",
-    "etl_compact_small_files",
-    "etl_gap_fill_interpolate",
-    "etl_validate_fk_staging",
-    "filter_null_3vl",
-    "fn_aes_roundtrip",
-    "fn_explode_outer_structs",
-    "fn_mask_pii",
-    "fn_url_parse",
-    "fn_xml_extract",
-    "graph_degree_distribution",
-    "graph_pagerank_iter",
-    "graph_triangle_count",
-    "join_asof",
-    "join_inner_equi",
-    "join_lateral_topk",
-    "join_null_safe_eq",
-    "join_star_multiway",
-    "pipeline_corpus_datasheet",
-    "sample_reservoir_group",
-    "sample_temperature",
-    "scan_csv_multiline_quoted",
-    "scan_parquet",
+    "scan_partition_prune",
+    "scan_python_stream_source",
+    "sink_compression_codecs",
+    "sort_multi_nulls",
+    "sql_cache_table",
+    "sql_ddl_insert_view",
+    "sql_parameterized_exec",
+    "text_perplexity_ngram",
+    "text_quality_logreg",
+    "text_zipf_fit",
+    "udaf_arrow_group",
+    "win_anomaly_zscore",
+    "win_ewma_smoothing",
+    "win_gaps_islands",
+    "agg_decimal_exact",
+    "dedup_exact_embedding",
+    "dedup_pair_explain",
+    "emb_isotropy_audit",
+    "emb_norm_profile",
+    "emb_outlier_distance",
+    "emb_random_projection_jl",
+    "graph_bfs_hops",
+    "join_dynamic_partition_prune",
+    "multimodal_chunk_fingerprint",
+    "multimodal_decode_pipeline",
+    "multimodal_signal_energy",
+    "pipeline_ann_index_build",
+    "pipeline_dedup_cascade",
+    "pipeline_incremental_refresh",
+    "pipeline_pretrain_mix",
+    "pipeline_rag_index",
+    "pipeline_stream_serving",
+    "plan_analyze_stats",
+    "plan_exchange_reuse",
+    "scan_binary_files",
+    "scan_csv_schema_drift",
+    "scan_json_corrupt_permissive",
+    "scan_metadata_columns",
+    "scan_parquet_nested_pushdown",
+    "sim_eval_ndcg",
+    "sim_hybrid_rrf_fusion",
+    "sink_python_datasource",
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    "stream_checkpoint_exactly_once",
+    "stream_event_time_timeout",
+    "text_bm25_rank",
+    "text_chat_template_render",
+    "text_cooccurrence_pmi",
+    "text_eval_token_f1",
 ]
 
 

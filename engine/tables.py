@@ -159,10 +159,23 @@ VEC_DIM_SQL = (
 
 def emb_dim(spark: SparkSession, sf_dir: str) -> "int | None":
     """Modal embedding dimensionality of the corpus (ties to the smaller
-    dim) — ONE tiny columnar agg job, cached per (applicationId, sf_dir)
-    like the footer-row probe; None on an all-NULL/empty corpus."""
+    dim) — ONE tiny columnar agg job, cached per (applicationId, sf_dir,
+    mtime_ns, footer_rows) like the footer-row probe (r14 ADVICE: keying
+    only on (app, sf_dir) went stale when a rehearsal rewrote
+    embeddings.parquet in place within one session — vectors() then
+    silently filtered to the WRONG subspace); None on an all-NULL/empty
+    corpus. A missing/unstat-able file keys on (None, None): such a
+    corpus can't be rewritten in place, and the probe below raises its
+    own read error if truly absent."""
+    import os
+
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (app, sf_dir, mtime, parquet_num_rows(path))
     if key not in _EMB_DIM_CACHE:
         for k in [k for k in _EMB_DIM_CACHE if k[0] != app]:
             _EMB_DIM_CACHE.pop(k, None)

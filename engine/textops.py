@@ -434,10 +434,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = grp.select("doc_id", "text")
     # persisted BEFORE the kernel: the intra branch's nn join below would
     # otherwise push an inferred isnotnull filter into the gram projection
-    # and re-inline split(text) per lambda element (see kernel docstring)
-    from pyspark import StorageLevel
-
-    sh_reps = word_ngram_ids(reps, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    # and re-inline split(text) per lambda element (see kernel docstring).
+    # Via swap_persist (r14 ADVICE): per-tag eviction on re-invocation,
+    # and the kernel skips its own persist for a caller-provided sh, so
+    # the relation is no longer persisted twice.
+    sh_reps = swap_persist(spark, word_ngram_ids(reps, 3), "ngram_reps_sh")
     rep_pairs = _ngram_jaccard_kernel(reps, sh=sh_reps)
     ma = grp.select(F.col("doc_id").alias("a_id"), F.col("members").alias("members_a"))
     mb = grp.select(F.col("doc_id").alias("b_id"), F.col("members").alias("members_b"))
@@ -475,18 +476,21 @@ def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFram
     precomputed `sh` (word_ngram_ids output) to share the shingle
     subtree with other consumers.
 
-    sh is PERSISTED here (r13 long-doc fix): it feeds four join inputs
-    (inv×2, sizes×2), and joins make InferFiltersFromConstraints push an
-    inferred isnotnull(size(grams)) filter BELOW the defining projection
-    — alias substitution re-inlines split(text) INTO the gram lambda,
-    resurrecting the O(tokens²) per-doc shape no projection binding can
-    prevent. The materialization barrier stops pushdown/inlining AND the
-    4× recompute; same persist rationale as minhash_near_pairs' mins."""
-    from pyspark import StorageLevel
-
+    sh is PERSISTED here when the kernel builds it (r13 long-doc fix): it
+    feeds four join inputs (inv×2, sizes×2), and joins make
+    InferFiltersFromConstraints push an inferred isnotnull(size(grams))
+    filter BELOW the defining projection — alias substitution re-inlines
+    split(text) INTO the gram lambda, resurrecting the O(tokens²) per-doc
+    shape no projection binding can prevent. The materialization barrier
+    stops pushdown/inlining AND the 4× recompute; same persist rationale
+    as minhash_near_pairs' mins. Routed through swap_persist (r14
+    ADVICE): per-tag eviction on re-invocation, no accumulation across a
+    sweep; a caller-provided sh arrives already persisted by the caller
+    and is NOT re-persisted here."""
     if sh is None:
-        sh = word_ngram_ids(d, 3)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from engine.tables import swap_persist
+
+        sh = swap_persist(d.sparkSession, word_ngram_ids(d, 3), "ngram_kernel_sh")
     inv = explode_nonempty(sh, "s", "g")
     a = inv.select(F.col("doc_id").alias("a_id"), "g")
     b = inv.select(F.col("doc_id").alias("b_id"), "g")

@@ -27,7 +27,29 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def float_flags(*frames: pd.DataFrame) -> dict[str, bool]:
+    """Per-column "carries real float data" flags, computed ONCE over the
+    UNION of all frames' full columns (r14, ADVICE): computing the flag
+    per-frame from a 1000-row sample let row-order differences between
+    Spark and DuckDB (or a float past row 1000) canonicalize NaN as '\\0'
+    on one side and 'nan' on the other — a spurious HASH-FAIL. A shared
+    full-scan flag makes both sides canonicalize identically always."""
+    flags: dict[str, bool] = {}
+    for df in frames:
+        for c in df.columns:
+            col = df[c]
+            if pd.api.types.is_float_dtype(col):
+                continue  # dtype-level float: canon's float branch handles it
+            if not flags.get(c):
+                flags[c] = any(
+                    isinstance(x, float) and x == x for x in col.dropna()
+                )
+    return flags
+
+
+def canon(df: pd.DataFrame, flags: dict[str, bool] | None = None) -> pd.DataFrame:
+    if flags is None:
+        flags = float_flags(df)
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         col = df[c]
@@ -41,15 +63,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         else:
             # NULL in an object column arrives as None from Spark but as
             # float NaN from DuckDB's .df() (nullable BOOLEAN) — both are
-            # SQL NULL; map them to the same sentinel. Guard (r13,
-            # ADVICE): only when the column is NOT genuinely float-typed —
-            # if any non-null value is a float, the column carries real
-            # float data (mixed object dtype) and a genuine NaN must
+            # SQL NULL; map them to the same sentinel. Guard (r13 ADVICE,
+            # tightened r14 — see float_flags): only when the column is
+            # NOT genuinely float-typed — if any non-null value in EITHER
+            # engine's frame is a float, the column carries real float
+            # data (mixed object dtype) and a genuine NaN must
             # canonicalize as "nan" like the float branch, not be
             # conflated with the other engine's SQL NULL.
-            has_real_float = any(
-                isinstance(x, float) and x == x for x in col.dropna().head(1000)
-            )
+            has_real_float = flags.get(c, False)
             df[c] = col.map(
                 lambda x: (
                     "\0"
@@ -62,8 +83,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def value_hash(df: pd.DataFrame) -> str:
-    rows = sorted("\x1f".join(r) for r in canon(df).to_numpy().tolist())
+def value_hash(df: pd.DataFrame, flags: dict[str, bool] | None = None) -> str:
+    rows = sorted("\x1f".join(r) for r in canon(df, flags).to_numpy().tolist())
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
@@ -126,8 +147,8 @@ def main() -> int:
             problems.append(f"cols spark={sorted(sp.columns)} duck={sorted(du.columns)}")
         elif len(sp) != len(du):
             problems.append(f"rows spark={len(sp)} duck={len(du)}")
-        elif value_hash(sp) != value_hash(du):
-            a, b = canon(sp), canon(du)
+        elif value_hash(sp, fl := float_flags(sp, du)) != value_hash(du, fl):
+            a, b = canon(sp, fl), canon(du, fl)
             for c in a.columns:
                 if sorted(a[c]) != sorted(b[c]):
                     sa, sb = sorted(a[c]), sorted(b[c])
