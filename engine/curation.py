@@ -28,8 +28,21 @@ from engine.tables import load
     "text_decontaminate",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh
-           FROM tok, unnest(generate_series(1, len(t) - 4)) AS g(i)),
+    -- zip-unnest to (doc, pos, token) rows + 4 window leads (r14): the
+    -- previous lateral over positions carried the WHOLE token list into
+    -- every generated row — O(tokens²) bytes per doc (172 s on one
+    -- 50k-token doc, and MATERIALIZED doesn't help because the copy IS
+    -- the lateral's output) — where the unnest streams each token once
+    -- and the leads rebuild the identical 5-token shingles
+    tr AS (SELECT doc_id, unnest(t) AS w,
+                  unnest(range(1, len(t) + 1)) AS i
+           FROM tok),
+    sh AS (SELECT doc_id,
+                  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                    || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                    AS sh
+           FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+           QUALIFY lead(w, 4) OVER win IS NOT NULL),
     ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 11 = 0)
     SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
     FROM sh s JOIN ev USING (sh)
@@ -95,8 +108,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                FROM documents),
     w AS (SELECT doc_id, source, n_tokens,
+                 -- ORDER BY doc_id, n_tokens: the n_tokens term keeps the
+                 -- layout order TOTAL when a doc_id collides with two
+                 -- different payloads in one source (r14 dup-id axis)
                  CAST(coalesce(sum(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
+                        PARTITION BY source ORDER BY doc_id, n_tokens
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) AS BIGINT) AS cum_before
           FROM t)
@@ -183,9 +199,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("off"),
         )
     )
+    # orderBy(doc_id, n_tokens): total even under colliding doc_ids with
+    # different payloads (r14); bucket assignment is monotone in doc_id
+    # alone, so a collided id's rows share a bucket and the within-bucket
+    # tie-break fully determines the layout.
     w = (
         Window.partitionBy("source", "bkt")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = (

@@ -101,24 +101,29 @@ def win_moving_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_signal_energy",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, text, length(text) AS n
+      -- rid: the oracle explodes to per-sample rows and must re-aggregate
+      -- per SOURCE ROW, not per doc_id — a colliding id carrying two
+      -- different payloads (r14 dup-id axis) would otherwise merge two
+      -- frames' samples into one garbage energy
+      SELECT row_number() OVER (ORDER BY doc_id, text) AS rid,
+             doc_id, text, length(text) AS n
       FROM documents WHERE doc_id % 6 = 0
     ),
     frames AS (
-      SELECT doc_id, text, CAST(k AS INT) AS frame_idx,
+      SELECT rid, doc_id, text, CAST(k AS INT) AS frame_idx,
              CAST(k * 32 AS INT) AS off,
              CAST(least(32, n - k * 32) AS INT) AS flen
       FROM docs, unnest(range(0, ((n - 1) // 32) + 1)) AS t(k)
     ),
     samples AS (
-      SELECT doc_id, frame_idx, flen,
+      SELECT rid, doc_id, frame_idx, flen,
              ascii(substr(text, off + CAST(j AS INT), 1)) AS code
       FROM frames, unnest(range(1, flen + 1)) AS u(j)
     )
     SELECT doc_id, frame_idx, flen,
            CAST(max(code) AS INT) AS peak,
            round(sqrt(CAST(sum(code * code) AS DOUBLE) / flen), 4) AS energy
-    FROM samples GROUP BY doc_id, frame_idx, flen
+    FROM samples GROUP BY rid, doc_id, frame_idx, flen
     """,
 )
 def multimodal_signal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,19 +189,17 @@ _JL_K = 16
 @query(
     "emb_random_projection_jl",
     oracle=f"""
-    WITH terms AS (
-      SELECT vec_id, u.k, t.j,
-             CASE WHEN (1103515245 * (t.j * {_JL_K} + u.k) + 12345) % 97 < 48
-                  THEN -1.0 ELSE 1.0 END
-               * CAST(embedding[CAST(t.j + 1 AS INT)] AS DOUBLE) AS term
-      FROM embeddings,
-           UNNEST(range(0, len(embedding))) AS t(j),
-           UNNEST(range(0, {_JL_K})) AS u(k)
-      WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
-    )
-    SELECT vec_id, CAST(k AS INT) AS k,
-           round(sum(term) / sqrt({_JL_K}.0), 4) + 0.0 AS proj
-    FROM terms GROUP BY vec_id, k
+    -- per-ROW list fold, not UNNEST(dims) + GROUP BY vec_id (r14 dup-id
+    -- axis: grouping by a COLLIDING id summed two different vectors into
+    -- one garbage projection); the projection is a per-vector-row map
+    SELECT vec_id, CAST(u.k AS INT) AS k,
+           round(coalesce(list_sum(list_transform(range(0, len(embedding)), j ->
+               CASE WHEN (1103515245 * (j * {_JL_K} + u.k) + 12345) % 97 < 48
+                    THEN -1.0 ELSE 1.0 END
+                 * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE))), 0.0)
+             / sqrt({_JL_K}.0), 4) + 0.0 AS proj
+    FROM embeddings, UNNEST(range(0, {_JL_K})) AS u(k)
+    WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
     """,
 )
 def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,10 +72,10 @@ def etl_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_ohlc_resample",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS bucket,
-           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY ts, event_id, value) AS open,
            max(value) AS high,
            min(value) AS low,
-           last(value ORDER BY ts, event_id) AS close,
+           last(value ORDER BY ts, event_id, value) AS close,
            count(*) AS n,
            round(sum(value), 4) AS volume
     FROM events
@@ -84,9 +84,13 @@ def etl_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def etl_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to hourly OHLC bars per event_type —
-    open/close are the first/last values in (ts, event_id) order (the
-    event_id tie-break makes equal-timestamp buckets deterministic),
-    high/low are plain min/max, volume is the rounded sum.
+    open/close are the first/last values in (ts, event_id, value) order.
+    The event_id tie-break makes equal-timestamp buckets deterministic;
+    the trailing value term keeps the order TOTAL even when an event_id
+    collides at the identical timestamp with a different payload (r14
+    dup-id axis: a replayed id at the same microsecond made open/close
+    an arbitrary pick on both engines). High/low are plain min/max,
+    volume is the rounded sum.
 
     Plan: single hash shuffle on (event_type, hour). min_by/max_by over a
     (ts, event_id) struct are associative — Spark computes them with
@@ -95,7 +99,7 @@ def etl_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     types × hours, not event count."""
     e = load(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("ts"))
-    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    ord_ = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
     return e.groupBy("event_type", bucket.alias("bucket")).agg(
         F.min_by("value", ord_).alias("open"),
         F.max("value").alias("high"),
@@ -313,7 +317,8 @@ def fn_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT anchor_id, anchor_label, neg_id, neg_label
     FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
-                                       ORDER BY h, neg_id) AS rn
+                                       ORDER BY h, neg_id,
+                                                anchor_label, neg_label) AS rn
           FROM cand)
     WHERE rn = 1
     """,
@@ -330,8 +335,12 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global n² cross join; the per-anchor argmin collapses via min_by
     partial aggregation (no row_number sort buffer). At 100 TB you raise
     B so buckets stay ~constant-size; the join never materializes the
-    full pair space. Tie-break (h, neg_id) is total, so the pick is
-    unique even under md5 collisions."""
+    full pair space. Tie-break (h, neg_id, anchor_label, neg_label) is
+    total even when a vec_id COLLIDES with two different labels (r14
+    dup-id axis: h depends only on the id pair, so a replayed id made
+    the winning row's labels an arbitrary pick) — and the anchor label
+    is taken from the WINNING candidate row, never an independent
+    first()."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("anchor_id"),
@@ -351,14 +360,14 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("h", h)
         .groupBy("anchor_id")
         .agg(
-            F.first("anchor_label").alias("anchor_label"),
-            F.min_by(F.struct("neg_id", "neg_label"), F.struct("h", "neg_id")).alias(
-                "pick"
-            ),
+            F.min_by(
+                F.struct("anchor_label", "neg_id", "neg_label"),
+                F.struct("h", "neg_id", "anchor_label", "neg_label"),
+            ).alias("pick"),
         )
         .select(
             "anchor_id",
-            "anchor_label",
+            F.col("pick.anchor_label").alias("anchor_label"),
             F.col("pick.neg_id").alias("neg_id"),
             F.col("pick.neg_label").alias("neg_label"),
         )

@@ -514,8 +514,18 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.tables import vectors as _vectors
 
     emb_raw = _vectors(spark, sf_dir)
-    if all_rows_distinct(
-        spark, f"{sf_dir}/embeddings.parquet", emb_raw, "embedding"
+    path = f"{sf_dir}/embeddings.parquet"
+    # Collapse-path precondition (r14 dup-id axis): the rep key is
+    # min(vec_id) per distinct vector, which COLLIDES when one id carries
+    # two different payloads (a re-embed under an existing id) — two reps
+    # share a vec_id and every rep-keyed join fans out. Colliding ids also
+    # change the contract itself: the oracle's rn=1-per-vec_id keeps only
+    # the best assignment per ID, which the member-level path's
+    # groupBy(vec_id) argmin reproduces exactly. So: distinct embeddings
+    # OR non-unique ids -> member-level path (linear n×k either way);
+    # the collapse path requires unique ids for rep-key integrity.
+    if all_rows_distinct(spark, path, emb_raw, "embedding") or not (
+        all_rows_distinct(spark, path, emb_raw, "vec_id")
     ):
         a2 = kmeans_assign(spark, sf_dir)
         return a2.groupBy(F.col("cid").alias("cluster_id")).agg(

@@ -87,9 +87,31 @@ def dedup_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # b=16/r=2 s-curve threshold) — a recall regression now surfaces as a
     # driver hash mismatch instead of hiding behind a rows-only check.
     oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
-      FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+    WITH ch AS (
+      SELECT doc_id, string_split(text, '') AS c
+      FROM documents WHERE length(text) >= 5
+    ),
+    -- zip-unnest to (doc, pos, char) rows + 4 window leads (r14): the
+    -- previous per-position substring(text, i, 5) is an O(offset) scan
+    -- in DuckDB (O(len²) per doc — minutes on one 50k-char doc), and a
+    -- lateral carrying the char ARRAY copies it into every position row
+    -- (same quadratic, in bytes). Streaming chars once and rebuilding
+    -- each 5-gram from 4 leads is the linear shape; the sub-5-char
+    -- branch reproduces the old whole-text gram exactly.
+    cr AS (
+      SELECT doc_id, unnest(c) AS c1, unnest(range(1, len(c) + 1)) AS i
+      FROM ch
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               c1 || lead(c1, 1) OVER w || lead(c1, 2) OVER w
+                  || lead(c1, 3) OVER w || lead(c1, 4) OVER w AS g
+        FROM cr WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(c1, 4) OVER w IS NOT NULL)
+      UNION
+      SELECT DISTINCT doc_id, text AS g
+      FROM documents WHERE length(text) < 5
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (

@@ -35,51 +35,83 @@ _RECRAWL_SHIFT = 100000
       SELECT doc_id + {_RECRAWL_SHIFT} AS doc_id, source, text
       FROM documents WHERE doc_id % 10 = 0
     ),
-    exact_keep AS (
-      SELECT min(doc_id) AS doc_id FROM ingest GROUP BY md5(text)
-    ),
+    -- exact stage: ONE surviving row per distinct text, keeper = the
+    -- lexicographically smallest (doc_id, source) row of the text group.
+    -- r14 dup-id axis: the old min(doc_id)-key + USING(doc_id) join
+    -- fanned out when a COLLIDING id carried two different texts (both
+    -- groups bottom out at the same id — the join matched both), and the
+    -- old manifest's LEFT JOIN ... ON doc_id fanned every colliding
+    -- ingest row. All stages now carry ROW identity (rid), never doc_id.
     kept AS (
-      SELECT i.doc_id, i.source, i.text
-      FROM ingest i JOIN exact_keep e USING (doc_id)
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id, source NULLS FIRST) AS rn
+        FROM ingest) WHERE rn = 1
+    ),
+    kk AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (ORDER BY doc_id, source NULLS FIRST,
+                                         md5(text)) AS rid
+      FROM kept
+    ),
+    -- zip-unnest + window-lead 5-gram shingles (r14): per-position
+    -- substring is O(offset) in DuckDB and a lateral carrying the char
+    -- array copies it per position — both O(len²) per doc; see
+    -- dedup_near_minhash for the full rationale
+    ch AS (
+      SELECT rid, string_split(text, '') AS c FROM kk WHERE length(text) >= 5
+    ),
+    cr AS (
+      SELECT rid, unnest(c) AS c1, unnest(range(1, len(c) + 1)) AS i
+      FROM ch
     ),
     sh AS (
-      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
-      FROM kept, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+      SELECT DISTINCT rid, g FROM (
+        SELECT rid,
+               c1 || lead(c1, 1) OVER w || lead(c1, 2) OVER w
+                  || lead(c1, 3) OVER w || lead(c1, 4) OVER w AS g
+        FROM cr WINDOW w AS (PARTITION BY rid ORDER BY i)
+        QUALIFY lead(c1, 4) OVER w IS NOT NULL)
+      UNION
+      SELECT DISTINCT rid, text AS g FROM kk WHERE length(text) < 5
     ),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sz AS (SELECT rid, count(*) AS n FROM sh GROUP BY rid),
     inter AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      SELECT a.rid AS a_id, b.rid AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.rid < b.rid
       GROUP BY 1, 2
     ),
     pairs AS (
       SELECT a_id, b_id FROM inter
-      JOIN sz sa ON sa.doc_id = a_id
-      JOIN sz sb ON sb.doc_id = b_id
+      JOIN sz sa ON sa.rid = a_id
+      JOIN sz sb ON sb.rid = b_id
       WHERE 1.0 - i / CAST(sa.n + sb.n - i AS DOUBLE) <= 0.6
     ),
     und AS (SELECT a_id AS src, b_id AS dst FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
     walk(node, label) AS (
-      SELECT doc_id, doc_id FROM kept
+      SELECT rid, rid FROM kk
       UNION
       SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
     ),
-    comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+    comp AS (SELECT node AS rid, min(label) AS cluster_id
              FROM walk GROUP BY node),
     near_kept AS (
-      SELECT k.doc_id, k.source FROM kept k
-      JOIN comp c ON c.doc_id = k.doc_id AND c.cluster_id = k.doc_id
-    )
-    SELECT i.source,
-           count(*) AS n_ingested,
-           count(k.doc_id) AS n_after_exact,
-           count(nk.doc_id) AS n_after_near,
-           round(CAST(count(nk.doc_id) AS DOUBLE) / count(*), 4) AS retention
-    FROM ingest i
-    LEFT JOIN kept k ON k.doc_id = i.doc_id
-    LEFT JOIN near_kept nk ON nk.doc_id = i.doc_id
-    GROUP BY i.source
+      SELECT k.rid, k.source FROM kk k
+      JOIN comp c ON c.rid = k.rid AND c.cluster_id = k.rid
+    ),
+    im AS (SELECT source, count(*) AS n_ingested FROM ingest GROUP BY source),
+    em AS (SELECT source, count(*) AS n_after_exact FROM kept GROUP BY source),
+    nm AS (SELECT source, count(*) AS n_after_near FROM near_kept GROUP BY source)
+    SELECT im.source, im.n_ingested,
+           coalesce(em.n_after_exact, 0) AS n_after_exact,
+           coalesce(nm.n_after_near, 0) AS n_after_near,
+           round(CAST(coalesce(nm.n_after_near, 0) AS DOUBLE)
+                 / im.n_ingested, 4) AS retention
+    FROM im
+    LEFT JOIN em ON im.source IS NOT DISTINCT FROM em.source
+    LEFT JOIN nm ON im.source IS NOT DISTINCT FROM nm.source
     """,
 )
 def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,20 +122,23 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     attrition manifest (ingested / after-exact / after-near / retention).
 
     Stage plan, in 100 TB terms:
-    1. EXACT — one hash shuffle on md5(text) with partial-agg min; the
-       keeper join is a left-semi on doc_id. Runs FIRST because it is the
-       cheapest stage and every row it kills never reaches the shingle
-       explode (the expensive part). md5 here, not xxhash64: the oracle
-       must compute the identical hash, and a 128-bit digest makes
+    1. EXACT — one hash shuffle on md5(text) with a partial-agg min_by;
+       keeper = lexicographically smallest (doc_id, source) row per text
+       group (r14: row-level semantics that stay well-defined when a
+       doc_id collides — see the stage comment). Runs FIRST because it
+       is the cheapest stage and every row it kills never reaches the
+       shingle explode (the expensive part). md5 here, not xxhash64: the
+       oracle must compute the identical hash, and a 128-bit digest makes
        cross-text collisions a non-concern at any corpus size.
     2. NEAR — the bucketed MinHash kernel (32 perms, 16×r=2 bands,
        frequency-capped buckets: candidate work O(Σ min(|bucket|,cap)²),
-       recall 1.0 on this corpus, unit-tested at the kernel level).
+       recall 1.0 on this corpus, unit-tested at the kernel level),
+       keyed on the struct row-identity (doc_id, source, text-hash).
     3. COMPONENTS — near-dup pairs are a tiny edge list (25 pairs at
        sf0.01); min-label propagation over broadcast edges converges in
        diameter rounds, collecting one scalar per round. Keeper = min
-       doc_id per component, so a re-crawled variant can never oust an
-       original.
+       (doc_id, source, …) row per component, so a re-crawled variant
+       can never oust an original.
     4. MANIFEST — three bounded per-source counts joined on the source
        key; output is source-cardinality, not corpus-cardinality.
     """
@@ -113,18 +148,41 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ingest = d.unionByName(recrawl)
 
-    # Stage 1: exact dedup (keeper = min doc_id per content hash).
-    keepers = (
-        ingest.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # Stage 1: exact dedup — ONE surviving row per distinct text, keeper =
+    # lexicographically smallest (doc_id, source). r14 dup-id axis: the
+    # old min(doc_id)-per-hash + left-semi-on-doc_id kept BOTH texts of a
+    # colliding id (right) but also kept byte-identical replays sharing an
+    # id (wrong), and downstream stages keyed on a no-longer-unique
+    # doc_id. min_by over the md5 group is one hash shuffle with partial
+    # aggregation, same as before but without the keeper join.
+    kept = (
+        ingest.groupBy(F.md5("text").alias("hkey"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "text"),
+                F.struct("doc_id", "source"),
+            ).alias("k")
+        )
+        .select("k.doc_id", "k.source", "k.text")
     )
-    kept = ingest.join(keepers, "doc_id", "left_semi")
 
     # Stage 2: near-dup pairs on the exact survivors (shared kernel).
+    # Kernel identity is the struct (doc_id, source, xxhash64(text)) —
+    # unique (text is unique in kept), opaque to the kernel (groupBy /
+    # join / '<' all order structs lexicographically), and its ordering
+    # agrees with the oracle's rid ordering on the (doc_id, source)
+    # prefix; the third term differs (xxhash64 vs md5) but only breaks
+    # ties WITHIN a (doc_id, source) pair, which the per-source manifest
+    # cannot observe.
     from engine.llmops import minhash_near_pairs
 
-    pairs = minhash_near_pairs(kept).select("a_id", "b_id")
+    kid = F.struct(
+        F.col("doc_id"), F.col("source"), F.xxhash64("text").alias("h")
+    )
+    keptk = kept.select(kid.alias("kid"), "source", "text")
+    pairs = minhash_near_pairs(
+        keptk.select(F.col("kid").alias("doc_id"), "text")
+    ).select("a_id", "b_id")
 
     # Stage 3: connected components over the pair graph — only nodes that
     # appear in a pair can lose their own label, so propagate over the
@@ -155,15 +213,21 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        # Convergence fingerprint: labels are structs now, so sum a bounded
+        # hash of each label instead of the label itself (the old
+        # sum(label) needed integer ids; pmod bound keeps the ANSI sum
+        # from ever overflowing).
+        cur_sum = labels.agg(
+            F.sum(F.pmod(F.xxhash64("label"), F.lit(10**12)))
+        ).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     # Drop every pair participant whose component label is not itself.
     losers = labels.filter(F.col("label") != F.col("node")).select(
-        F.col("node").alias("doc_id")
+        F.col("node").alias("kid")
     )
-    near_kept = kept.join(losers, "doc_id", "left_anti").select("doc_id", "source")
+    near_kept = keptk.join(losers, "kid", "left_anti").select("source")
 
     # Stage 4: per-source attrition manifest. The three counts join with
     # eqNullSafe (r13): groupBy keeps a NULL-source group, and the

@@ -70,13 +70,19 @@ def data_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_containment",
     oracle="""
-    WITH sh AS (
+    WITH tok AS MATERIALIZED (
+      -- MATERIALIZED: bind the split array ONCE per row (r14, mirroring
+      -- the engine's r13 bound-array fix) — string_split referenced
+      -- inside the list_transform lambda re-splits the whole text per
+      -- element, O(tokens²) per doc, which is what kept the long-doc
+      -- parity fixture capped at 5k tokens
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
       SELECT doc_id, list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2])) AS s
-      FROM documents),
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok),
     inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
     co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id

@@ -408,7 +408,16 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes c·c ordered same-day pairs of which exactly c are self-pairs,
     so subtracting sum(c) per week yields the a<>b count without touching
     order keys. For pair-ENUMERATING interval joins see join_theta_range /
-    join_asof, which keep the explode-to-bucket equi-join shape."""
+    join_asof, which keep the explode-to-bucket equi-join shape.
+
+    r14 dup-id axis: the oracle's a_key <> b_key excludes MORE than the
+    diagonal when o_orderkey COLLIDES (a corrected order re-ingested under
+    its key, possibly on a different date): every ordered pair of distinct
+    rows sharing a key inside the window is excluded too. The subtraction
+    is therefore computed exactly at (key, date) granularity — an
+    equi-self-join on o_orderkey over the deduped (key, date, cnt) table,
+    O(Σ per-key multiplicity²), which for the normal unique-key corpus
+    degenerates to exactly the old Σ-count diagonal term."""
     o = load(spark, sf_dir, "orders")
     days = o.groupBy(F.col("o_orderdate").alias("a_date")).agg(
         F.count("*").alias("a_cnt")
@@ -416,22 +425,33 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bdays = days.select(
         F.col("a_date").alias("b_date"), F.col("a_cnt").alias("b_cnt")
     )
-    pairs = days.join(
-        F.broadcast(bdays),
-        (F.col("b_date") >= F.col("a_date"))
-        & (F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY")),
+    in_window = (F.col("b_date") >= F.col("a_date")) & (
+        F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY")
+    )
+    pairs = days.join(F.broadcast(bdays), in_window)
+    wk = F.date_trunc("week", F.col("a_date")).alias("wk")
+    allp = pairs.groupBy(wk).agg(
+        F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("all_cnt")
+    )
+    kd = o.groupBy(
+        F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("a_date")
+    ).agg(F.count("*").alias("a_cnt"))
+    kb = kd.select(
+        "k", F.col("a_date").alias("b_date"), F.col("a_cnt").alias("b_cnt")
+    )
+    selfp = (
+        kd.join(kb, "k")
+        .filter(in_window)
+        .groupBy(wk)
+        .agg(F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("self_cnt"))
     )
     return (
-        pairs.groupBy(F.date_trunc("week", F.col("a_date")).alias("wk"))
-        .agg(
+        allp.join(selfp, "wk", "left")
+        .select(
+            "wk",
             (
-                F.sum(F.col("a_cnt") * F.col("b_cnt"))
-                - F.sum(
-                    F.when(F.col("a_date") == F.col("b_date"), F.col("a_cnt")).otherwise(
-                        F.lit(0)
-                    )
-                )
-            ).alias("pair_cnt")
+                F.col("all_cnt") - F.coalesce(F.col("self_cnt"), F.lit(0))
+            ).alias("pair_cnt"),
         )
         # the oracle's count(*) can't emit 0: a week whose only orders are
         # isolated single-order days decomposes to c*c - c = 0 pairs here

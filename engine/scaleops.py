@@ -73,7 +73,11 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bucket"),
-    ).dropDuplicates(["s_suppkey", "bucket"])
+    )
+    # NO dropDuplicates here: the 3 exploded buckets (b-1, b, b+1) are
+    # distinct by construction per row, and keying a dedupe on
+    # (s_suppkey, bucket) silently merged COLLIDING supplier ids carrying
+    # different acctbals (r14 dup-id axis), dropping their join rows.
     cb = c.select(
         "c_custkey",
         "c_acctbal",
@@ -450,16 +454,22 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_binary_quantize",
     oracle="""
     WITH q AS (
+      -- per-ROW list fold, not UNNEST + GROUP BY vec_id (r14 dup-id axis:
+      -- grouping by a COLLIDING id merged two vectors' sign bits into one
+      -- corrupted word); quantization is a per-vector-row map, ids ride
+      -- along uninterpreted
       SELECT vec_id,
-             CAST(sum(CASE WHEN embedding[CAST(i AS INT)] > 0
-                           THEN (2.0 ^ (CAST(i AS INT) - 1))::BIGINT ELSE 0 END) AS BIGINT) AS bits_lo,
-             CAST(sum(CASE WHEN embedding[CAST(i AS INT) + 32] > 0
-                           THEN (2.0 ^ (CAST(i AS INT) - 1))::BIGINT ELSE 0 END) AS BIGINT) AS bits_hi
-      FROM embeddings, UNNEST(range(1, 33)) AS t(i)
+             CAST(list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN embedding[CAST(i AS INT)] > 0
+                    THEN (2.0 ^ (i - 1))::BIGINT ELSE 0 END)) AS BIGINT) AS bits_lo,
+             CAST(list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN embedding[CAST(i AS INT) + 32] > 0
+                    THEN (2.0 ^ (i - 1))::BIGINT ELSE 0 END)) AS BIGINT) AS bits_hi
+      FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, len(embedding) LIMIT 1)
-      GROUP BY vec_id
     ),
-    ref AS (SELECT bits_lo AS rlo, bits_hi AS rhi FROM q ORDER BY vec_id LIMIT 1)
+    ref AS (SELECT bits_lo AS rlo, bits_hi AS rhi FROM q
+            ORDER BY vec_id, bits_lo, bits_hi LIMIT 1)
     SELECT vec_id, bits_lo, bits_hi,
            CAST(bit_count(xor(bits_lo, rlo)) + bit_count(xor(bits_hi, rhi)) AS INT) AS hamming_ref
     FROM q CROSS JOIN ref ORDER BY vec_id
@@ -491,8 +501,11 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(word.format(off=0)).alias("bits_lo"),
         F.expr(word.format(off=32)).alias("bits_hi"),
     )
+    # deterministic under colliding ids (r14): the reference is the lowest
+    # (vec_id, bits_lo, bits_hi) row, not "whichever row of the dup min-id
+    # pair the scan surfaced first"
     ref = (
-        q.orderBy("vec_id")
+        q.orderBy("vec_id", "bits_lo", "bits_hi")
         .limit(1)
         .select(F.col("bits_lo").alias("rlo"), F.col("bits_hi").alias("rhi"))
     )

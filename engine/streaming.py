@@ -289,7 +289,26 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     s = read_events_stream(spark, sf_dir)
     # Watermark requires TimestampType (not NTZ) in streaming state ops.
-    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    # The event time is clamped into [epoch+1µs, 2262] (streaming2's
+    # _TS_FLOOR/_TS_HORIZON guard, r14 adversarial-timestamp axis): the
+    # initial watermark is epoch zero with a STRICT late filter, so a
+    # pre-1970 or exactly-epoch stamp is silently dropped from the first
+    # batch — losing the event from the dedup output entirely — and a
+    # year-9999 sentinel would poison the watermark (evicting all dedup
+    # state) on any multi-batch replay. The clamp only feeds watermark
+    # arithmetic; output columns carry no timestamp.
+    from engine.streaming2 import _TS_FLOOR, _TS_HORIZON
+
+    s = s.withColumn(
+        "ts",
+        F.greatest(
+            F.least(
+                F.col("ts").cast("timestamp"),
+                F.lit(_TS_HORIZON).cast("timestamp"),
+            ),
+            F.lit(_TS_FLOOR).cast("timestamp"),
+        ),
+    )
     dd = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     out = run_to_memory(
         dd.select("event_id", "user_id", "event_type"), f"sg_wm_dedup_{sftag(sf_dir)}"
@@ -420,9 +439,17 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     s = read_events_stream(spark, sf_dir)
-    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Project to the columns the state fn actually reads BEFORE the
+    # pandas boundary (r14 adversarial-timestamp axis): grouped rows ship
+    # to the Python worker as pandas frames, and a beyond-2262 `ts` kills
+    # the Arrow->datetime64[ns] conversion inside the worker even though
+    # _count_events never touches ts. The projection is also the right
+    # scale shape — only the grouping key crosses the boundary. The
+    # general rule (docs/SCALE.md r14): timestamps cross a pandas-state
+    # boundary as int64 µs or not at all.
     counted = (
-        s.groupBy("user_id")
+        s.select("user_id")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _count_events,
             outputStructType=_COUNTER_OUT,

@@ -31,12 +31,33 @@ from engine.streaming import run_to_memory
 _TIMEOUT_SRC_CACHE: dict[str, str] = {}
 _SPLIT = "2024-01-30 00:00:00"
 _IDLE_MS = 2 * 3600 * 1000  # 2h inactivity closes a session
+# Far-future sentinel guard (r14 adversarial-timestamp axis): event times
+# are clamped to this horizon at ingest, BEFORE watermarking. Two reasons:
+# (1) grouped rows cross the applyInPandasWithState boundary as pandas
+# datetime64[ns], which physically cannot hold a beyond-2262 stamp — the
+# Arrow conversion kills the task; (2) a year-9999 "never expires"
+# sentinel would otherwise set the watermark itself. A stamp 200+ years
+# out is sentinel garbage, not an event time. The oracle applies the
+# identical least() clamp, so the semantics are the contract, not a hack.
+# The FLOOR guard is the same contract for the past: Structured
+# Streaming's initial watermark is epoch zero and its late-record filter
+# is strict, so a pre-1970 (or exactly-epoch) stamp is silently DROPPED
+# from the very first batch — losing the row from every count. Clock-bug
+# stamps are clamped up to epoch+1µs instead: the event is kept, its
+# event-time is floor-pinned, and the count matches the oracle's.
+_TS_HORIZON = "2262-04-10 00:00:00"
+_TS_FLOOR = "1970-01-01 00:00:00.000001"
 
+# last_ts crosses the pandas-state boundary as int64 µs, not a timestamp
+# (r14 adversarial-timestamp axis): Arrow->pandas inside the worker is
+# datetime64[ns], which cannot hold a beyond-2262 stamp — the conversion
+# kills the task before the state fn even runs. The µs long is converted
+# back to a timestamp JVM-side after the stateful op.
 _OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_us", T.LongType()),
     ]
 )
 _STATE = T.StructType(
@@ -55,7 +76,7 @@ def _close_on_timeout(key, pdf_iter, state):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "last_us": [last_us],
             }
         )
     else:
@@ -78,21 +99,30 @@ def _close_on_timeout(key, pdf_iter, state):
     # every remaining state idle >2h before it, with its FULL accumulated
     # count. All SQL.
     oracle=f"""
-    WITH f1 AS (
-      SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+    WITH ec AS (
+      -- mirror of the engine's sentinel guards (_TS_HORIZON/_TS_FLOOR):
+      -- event times are clamped into the processable band before any
+      -- watermark arithmetic
+      SELECT user_id,
+             greatest(least(ts, TIMESTAMP '{_TS_HORIZON}'),
+                      TIMESTAMP '{_TS_FLOOR}') AS ts
+      FROM events
+    ),
+    f1 AS (
+      SELECT user_id, ts FROM ec WHERE ts < TIMESTAMP '{_SPLIT}'
     ),
     f2u AS (
-      SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+      SELECT DISTINCT user_id FROM ec WHERE ts >= TIMESTAMP '{_SPLIT}'
     ),
     wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f1),
-    wm2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    wm2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ec),
     agg1 AS (
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM f1 GROUP BY user_id
     ),
     aggall AS (
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
-      FROM events GROUP BY user_id
+      FROM ec GROUP BY user_id
     ),
     e1 AS (
       SELECT a.user_id, a.n_events, a.last_ts
@@ -138,7 +168,14 @@ def stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = load(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts")
+        "user_id",
+        F.greatest(
+            F.least(
+                F.col("ts").cast("timestamp"),
+                F.lit(_TS_HORIZON).cast("timestamp"),
+            ),
+            F.lit(_TS_FLOOR).cast("timestamp"),
+        ).alias("ts"),
     )
     src = _TIMEOUT_SRC_CACHE.get(sf_dir)
     if src is None:
@@ -162,6 +199,11 @@ def stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     closed = (
+        # ts is horizon-clamped at the fixture write (_TS_HORIZON), so
+        # both the watermark column and the pandas payload stay inside
+        # datetime64[ns] range — EventTimeTimeout requires the watermark
+        # column to survive to the stateful op, so it cannot be projected
+        # away here.
         s.withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -174,5 +216,7 @@ def stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(closed, f"sg_ett_{sftag(sf_dir)}")
     return out.select(
-        "user_id", "n_events", F.col("last_ts").cast("timestamp_ntz").alias("last_ts")
+        "user_id",
+        "n_events",
+        F.timestamp_micros("last_us").cast("timestamp_ntz").alias("last_ts"),
     )

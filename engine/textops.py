@@ -256,14 +256,23 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_fingerprint",
     oracle="""
-    WITH h AS (
+    WITH codes AS MATERIALIZED (
+      -- MATERIALIZED char-code array (r14, mirroring the engine's r13
+      -- bound code array): substr(text, i+j, 1) inside the nested lambda
+      -- is an O(offset) scan in DuckDB — O(len²) per doc (182 s on one
+      -- 50k-token doc; sub-second bound)
       SELECT doc_id,
-             list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+             list_transform(string_split(text, ''), c -> ascii(c)) AS cd,
+             length(text) AS n
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(n - 7, 0) + 1),
                i -> list_reduce(
                       list_prepend(0::BIGINT,
-                        list_transform(range(0, 8), j -> ascii(substr(text, i + j, 1)))),
+                        list_transform(range(0, 8), j -> cd[i + j])),
                       (acc, c) -> (acc * 131 + c) % 2147483647)) AS hs
-      FROM documents)
+      FROM codes)
     SELECT doc_id,
            list_aggregate(hs, 'min') AS fingerprint,
            len(list_distinct(hs)) AS n_distinct_windows
@@ -361,13 +370,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH tok AS MATERIALIZED (
+      -- MATERIALIZED: bind the split array ONCE per row (r14, mirroring
+      -- the engine's r13 bound-array fix) — string_split inside the
+      -- lambda re-splits per element, O(tokens²) per doc
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
       SELECT doc_id, list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2])) AS s
-      FROM documents),
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM tok),
     inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
@@ -417,17 +430,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.tables import all_rows_distinct, swap_persist
 
     d = load(spark, sf_dir, "documents")
-    if all_rows_distinct(spark, f"{sf_dir}/documents.parquet", d, "text"):
+    path = f"{sf_dir}/documents.parquet"
+    # The direct kernel keys its inverted index on doc_id, which merges a
+    # COLLIDING id's two different texts into one garbage gram multiset
+    # (r14 dup-id axis) — it requires BOTH distinct texts and unique ids.
+    # The collapse path below is the general form: it operates per
+    # distinct TEXT and expands to member rows, which reproduces the
+    # oracle's per-row-combination fan under colliding ids too.
+    if all_rows_distinct(spark, path, d, "text") and all_rows_distinct(
+        spark, path, d, "doc_id"
+    ):
         return _ngram_jaccard_kernel(d)
 
     # Collapse path: rep pairs feed two member joins and the intra branch
-    # reads grp again — persist via the shared swap.
+    # reads grp again — persist via the shared swap. The rep key is
+    # struct(min member id, xxhash64(text)) — min id ALONE collides when
+    # one doc_id carries two different texts whose groups both bottom out
+    # at that id (r14); the text-hash disambiguates (same negligible-
+    # collision rationale as word_ngram_ids' int64 gram ids, and a
+    # collision needs BOTH the same min id and the same 64-bit hash).
     grp = swap_persist(
         spark,
-        d.groupBy("text").agg(
-            F.min("doc_id").alias("doc_id"),
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("mid"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.count("*").alias("w"),
+        )
+        .select(
+            F.struct(
+                F.col("mid").alias("i"), F.xxhash64("text").alias("h")
+            ).alias("doc_id"),
+            "text",
+            "members",
+            "w",
         ),
         "ngram_grp",
     )
@@ -447,6 +483,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mb, "b_id")
         .select("jaccard", F.explode("members_a").alias("m"), "members_b")
         .select("jaccard", "m", F.explode("members_b").alias("m2"))
+        # m != m2: two DIFFERENT texts sharing a colliding doc_id would
+        # otherwise emit a degenerate (id, id) self-pair the oracle's
+        # a_id < b_id excludes (r14 dup-id axis); disjoint member sets on
+        # unique-id corpora make this a no-op there
+        .filter(F.col("m") != F.col("m2"))
         .select(
             F.least("m", "m2").alias("a_id"),
             F.greatest("m", "m2").alias("b_id"),

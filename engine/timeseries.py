@@ -24,6 +24,10 @@ from engine.tables import load
 
 _ALPHA = 0.5  # (1-alpha) = 0.5: powers/products/sums stay dyadic-EXACT doubles
 _TAPS = 12
+# gap-fill densification limit, in grid hours (30 days): gaps wider than
+# this are discontinuities — no rows are synthesized across them. Must
+# match the literal in etl_gap_fill_interpolate's oracle.
+_MAX_FILL_GAP_HOURS = 720
 
 
 @query(
@@ -102,16 +106,32 @@ def win_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2
     ),
-    bounds AS (
-      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+    -- fill-limit semantics (r14 adversarial-timestamp axis): densify only
+    -- gaps of <= 720 grid hours between CONSECUTIVE observations — a
+    -- pandas-interpolate 'limit', not an unconditional min..max grid.
+    -- The old bounds/grid CTE generated the full [min, max] span, so ONE
+    -- year-9999 sentinel row expanded the grid to ~70M hours per type
+    -- (OOM on the engine, ~GBs on this oracle). A gap wider than the
+    -- limit is a discontinuity: no rows are synthesized across it.
+    seg AS (
+      SELECT event_type, hr,
+             lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS prev_hr
+      FROM hourly
     ),
-    grid AS (
-      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
-      FROM bounds
+    fills AS (
+      SELECT event_type,
+             unnest(generate_series(prev_hr + INTERVAL '1 hour',
+                                    hr - INTERVAL '1 hour',
+                                    INTERVAL '1 hour')) AS hr
+      FROM seg
+      WHERE prev_hr IS NOT NULL
+        AND date_diff('hour', prev_hr, hr) > 1
+        AND date_diff('hour', prev_hr, hr) <= 720
     ),
     joined AS (
-      SELECT g.event_type, g.hr, h.v FROM grid g
-      LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+      SELECT event_type, hr, v FROM hourly
+      UNION ALL
+      SELECT event_type, hr, NULL AS v FROM fills
     ),
     nav AS (
       SELECT event_type, hr, v,
@@ -141,35 +161,64 @@ def win_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def etl_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Series densification + linear interpolation: build the full hourly
-    grid per event type (sequence between the observed min/max), left-join
-    the observed per-hour counts (exact integers — float-summed averages
-    differ by ULPs across engines and flip round() ties), then fill each gap from its nearest non-null
+    """Series densification + linear interpolation with a FILL LIMIT:
+    synthesize hourly rows only inside gaps of <= _MAX_FILL_GAP_HOURS
+    between consecutive observed hours (exact integer counts —
+    float-summed averages differ by ULPs across engines and flip round()
+    ties), then fill each synthesized row from its nearest non-null
     neighbors — IGNORE NULLS last_value looking back and first_value
     looking forward, with the interpolation weighted by time distance
     (edges clamp to the available neighbor). `was_gap` marks synthesized
     rows. This is the repair step before resampling/EWMA/model-ingest
     consumes an event-derived series at a fixed step.
 
-    100 TB: the grid is bounded by types × horizon (not event count);
-    both navigation windows and the grid join partition on event_type, so
-    the whole repair reuses one shuffle. Gap-fill never touches raw
-    events after the first aggregate."""
+    The limit IS the operator contract, not an optimization (r14
+    adversarial-timestamp axis): the previous shape densified the full
+    [min, max] span per type via one sequence() call, so a single
+    year-9999 sentinel stamp built a ~70M-element array in one task and
+    OOM'd the executor — the classic way one rogue row kills a
+    densification job. A gap wider than the limit is a discontinuity:
+    interpolating across it is statistically meaningless anyway (pandas
+    interpolate(limit=...) draws the same line), so no rows are
+    synthesized and the observed rows on both rims stay untouched.
+
+    100 TB: per-pair sequence() arrays are bounded by the limit (720), the
+    explode distributes over the observation shuffle partitioning, and
+    output is bounded by observed + gaps·limit — no unconditional
+    min..max grid anywhere. The nav windows and the lag segmentation all
+    partition on event_type, reusing one shuffle. Gap-fill never touches
+    raw events after the first aggregate."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
-    grid = (
-        hourly.groupBy("event_type")
-        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    wlag = Window.partitionBy("event_type").orderBy("hr")
+    gap_h = (
+        (F.unix_micros("hr") - F.unix_micros("prev_hr"))
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    fills = (
+        hourly.select(
+            "event_type", "hr", F.lag("hr").over(wlag).alias("prev_hr")
+        )
+        .filter(
+            F.col("prev_hr").isNotNull()
+            & (gap_h > 1)
+            & (gap_h <= _MAX_FILL_GAP_HOURS)
+        )
         .select(
             "event_type",
             F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    F.col("prev_hr") + F.expr("INTERVAL 1 HOUR"),
+                    F.col("hr") - F.expr("INTERVAL 1 HOUR"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("hr"),
+            F.lit(None).cast("double").alias("v"),
         )
     )
-    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    joined = hourly.unionByName(fills)
     wp = (
         Window.partitionBy("event_type")
         .orderBy("hr")

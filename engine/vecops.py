@@ -571,6 +571,9 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trace": float(np.trace(cov)),
         "orth_err": float(np.abs(comps.T @ comps - np.eye(n_comp)).max()),
         "mean": mean.tolist(),
+        # loadings kept for the self-validating key's joinless Bessel pass
+        # (r14 dup-id axis: a vec_id join fans out on colliding ids)
+        "comps": comps.tolist(),
     }
     bc = spark.sparkContext.broadcast((mean, comps))
 
@@ -623,7 +626,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~12% on this corpus)."""
     import numpy as np
 
-    proj = pca_project_vectors(spark, sf_dir)
+    pca_project_vectors(spark, sf_dir)  # Gram pass collects eagerly → fit
     fit = _PCA_FITS.get(sf_dir)
     if fit is None:
         # empty corpus: every invariant holds vacuously over zero vectors —
@@ -633,16 +636,34 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors bigint, bessel_violations bigint, orth_ok boolean,"
             " var_desc_ok boolean, explained_ok boolean",
         )
-    emb = load(spark, sf_dir, "embeddings")
+    # Bessel check in ONE joinless pass over the vector table (r14 dup-id
+    # axis): the previous proj⋈emb equi-join on vec_id fanned out 2×2 on
+    # colliding ids (a re-embedded vector arriving under an existing id),
+    # inflating n_vectors and pairing rows with the WRONG sibling's
+    # embedding. Each row is now checked against its own embedding via the
+    # broadcast-literal loadings — also drops a shuffle from the plan.
+    from engine.tables import vectors
+
+    emb = vectors(spark, sf_dir)
     mu = F.array(*[F.lit(float(m)) for m in fit["mean"]])
+    centered = F.zip_with("embedding", mu, lambda x, m: x.cast("double") - m)
     centered_energy = F.aggregate(
-        F.zip_with("embedding", mu, lambda x, m: (x.cast("double") - m) ** 2),
-        F.lit(0.0),
-        lambda a, x: a + x,
+        F.transform(centered, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    pc_energy = sum(F.col(f"pc{j}") ** 2 for j in range(1, 5))
-    joined = proj.join(emb.select("vec_id", "embedding"), "vec_id")
-    viol = joined.select(
+    comps = fit["comps"]  # (d, 4) loadings
+    pc_energy = None
+    for j in range(4):
+        wj = F.array(*[F.lit(float(row[j])) for row in comps])
+        dot = F.aggregate(
+            F.zip_with(centered, wj, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        # kernel projections are rounded to 6dp before the energy sum —
+        # mirror that so the check tests what pca_project_vectors emits
+        term = F.round(dot, 6) ** 2
+        pc_energy = term if pc_energy is None else pc_energy + term
+    viol = emb.select(
         (pc_energy > centered_energy + F.lit(1e-6)).cast("long").alias("v")
     ).agg(F.sum("v").alias("bessel_violations"), F.count(F.lit(1)).alias("n_vectors"))
     ev = np.array(fit["evals_top"])

@@ -54,7 +54,16 @@ def canon(df: pd.DataFrame, flags: dict[str, bool] | None = None) -> pd.DataFram
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_datetime64_any_dtype(col):
-            df[c] = col.astype("datetime64[us]").astype(str)
+            # explicit 6-digit strftime, not astype(str) (r14 adversarial-
+            # timestamp axis): collect_pdf's far-future fallback stringifies
+            # Spark-side as yyyy-MM-dd HH:mm:ss.ffffff, and astype(str)
+            # drops the fraction on integral seconds — the two renderings
+            # must be byte-identical for the hash compare.
+            df[c] = (
+                col.astype("datetime64[us]")
+                .dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                .fillna("NaT")
+            )
         elif pd.api.types.is_float_dtype(col):
             f = col.astype("float64")
             df[c] = f.map(lambda x: "nan" if pd.isna(x) else f"{x:.6e}")
@@ -81,6 +90,50 @@ def canon(df: pd.DataFrame, flags: dict[str, bool] | None = None) -> pd.DataFram
                 )
             )
     return df
+
+
+def collect_pdf(df) -> pd.DataFrame:
+    """df.toPandas() with a far-future fallback (r14 adversarial-timestamp
+    axis): pandas' ns epoch caps at year 2262, so a year-9999 result row
+    cannot be collected as datetime64 at all — Arrow raises an
+    out-of-bounds cast error. On that error, re-collect with every
+    timestamp/date column canonically stringified SPARK-SIDE
+    (yyyy-MM-dd HH:mm:ss.ffffff, NULL -> 'NaT') — byte-identical to what
+    canon() renders the DuckDB side's datetime64[us] columns to, so the
+    value-hash compare is unchanged. The fallback only ever engages on
+    corpora carrying beyond-2262 stamps; the real driver's sf0.01 corpus
+    never does."""
+    try:
+        return df.toPandas()
+    except Exception as ex:
+        if "timestamp" not in str(ex).lower():
+            raise
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            ):
+                # strip the '+' DateTimeFormatter prefixes onto 5-digit
+                # years (Spark CAN hold year 10000+; DuckDB's strftime
+                # prints it bare)
+                cols.append(
+                    F.coalesce(
+                        F.regexp_replace(
+                            F.date_format(
+                                f.name, "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                            ),
+                            r"^\+",
+                            "",
+                        ),
+                        F.lit("NaT"),
+                    ).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(cols).toPandas()
 
 
 def value_hash(df: pd.DataFrame, flags: dict[str, bool] | None = None) -> str:
@@ -126,7 +179,7 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
-            sp = queries[key](spark, sf_dir).toPandas()
+            sp = collect_pdf(queries[key](spark, sf_dir))
         except Exception as ex:
             print(f"  {key}: SPARK ERROR {str(ex)[:200]}")
             failed += 1

@@ -46,7 +46,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_datetime64_any_dtype(col):
-            df[c] = col.astype("datetime64[us]")
+            # canonical 6-digit string, mirroring scripts/driver_sim.canon
+            # (r14): the far-future collect fallback (collect_pdf) returns
+            # Spark timestamps as yyyy-MM-dd HH:mm:ss.ffffff STRINGS when
+            # pandas' ns range can't hold them, so the DuckDB side's
+            # datetime64 must render to the identical bytes.
+            df[c] = (
+                col.astype("datetime64[us]")
+                .dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                .fillna("NaT")
+            )
         elif pd.api.types.is_float_dtype(col):
             df[c] = col.astype("float64")
         elif pd.api.types.is_integer_dtype(col):

@@ -24,7 +24,10 @@ def test_ulid_sortable_ids(spark):
     assert len(set(sids)) == len(sids)  # globally unique
     for r in rows[:20]:
         pre, suf = r["sid"].split("-")
-        assert len(pre) == 14 and len(suf) == 8
+        # 16 hex digits of sign-bit-flipped epoch-µs (r14): constant width
+        # over the FULL int64 range, so pre-1970 and year-9999 stamps
+        # sort correctly too
+        assert len(pre) == 16 and len(suf) == 8
         assert int(pre, 16) > 0
         expect_suf = hashlib.md5(f"evt|{r['event_id']}".encode()).hexdigest()[:8]
         assert suf == expect_suf
