@@ -118,21 +118,25 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through swap_persist (r14 ADVICE) so each re-invocation evicts the
     # previous cached relation instead of accumulating across a sweep.
     from engine.tables import swap_persist
+    from engine.textops import exact_gram_pair_counts
 
     sh = swap_persist(spark, word_ngram_ids(d, 3), "containment_sh")
-    inv = explode_nonempty(sh, "s", "g")
-    a = inv.select(F.col("doc_id").alias("a_id"), "g")
-    b = inv.select(F.col("doc_id").alias("b_id"), "g")
-    co = (
-        a.join(b, "g")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("c"))
+    # shared-gram counts via the hot-gram-defended exact counter (r14):
+    # unordered (u, v, c) expanded to both directions — containment is
+    # directed but |A∩B| is symmetric. tiny_k = 1/t = 2 at t = 0.5: a
+    # pair sharing no light gram needs c = ch <= min(Ha, Hb), and
+    # c/na >= 0.5 forces na <= 2·Ha — the source side is tiny, which the
+    # counter's one-sided tiny branch covers.
+    co = exact_gram_pair_counts(sh, tiny_k=2, who="text_containment")
+    both = co.unionByName(
+        co.select(
+            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), "c"
+        )
     )
     sizes = sh.select(F.col("doc_id").alias("a_id"), F.size("s").alias("na"))
     cont = F.col("c").cast("double") / F.col("na")
     return (
-        co.join(sizes, "a_id")
+        both.join(sizes, "a_id")
         .filter(cont >= 0.5)
         .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
     )

@@ -510,6 +510,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(intra)
 
 
+_NGRAM_JAC_T = 0.2  # the kernel's Jaccard threshold (oracle-pinned)
+# Grams appearing in more documents than this take the HOT path (r14
+# boilerplate defense). On every swept corpus the max gram df is ~25, so
+# the cap never engages there and the plan is byte-identical to r13's;
+# the hot-shingle rehearsal corpus (90% of docs share a header) hits
+# df = 0.9n and would otherwise generate O(0.81 n² · H) candidate rows.
+_NGRAM_DF_CAP = 1000
+# Loud guard, not a silent fallback: this many DISTINCT hot grams means
+# the corpus is not "boilerplate among content" but wholesale clone soup
+# — the right tool is the exact-dup collapse prestage / MinHash, and the
+# kernel refuses rather than silently running the quadratic join.
+_NGRAM_HOT_MAX = 100_000
+# Tiny-doc branch bound (see proof in the kernel): if more than this many
+# docs are small enough to pass the threshold on hot grams alone, fall
+# back to the exact full join (correct, pre-r14 shape) with a warning.
+_NGRAM_TINY_MAX = 200_000
+
+
 def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """The count-aggregated inverted-index Jaccard join over a documents
     relation (see dedup_ngram_jaccard) — extracted r11 so the collapse
@@ -527,21 +545,19 @@ def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFram
     as minhash_near_pairs' mins. Routed through swap_persist (r14
     ADVICE): per-tag eviction on re-invocation, no accumulation across a
     sweep; a caller-provided sh arrives already persisted by the caller
-    and is NOT re-persisted here."""
+    and is NOT re-persisted here.
+
+    Pair counts come from exact_gram_pair_counts below — the r14
+    hot-gram (boilerplate) defense lives there; this kernel only applies
+    the Jaccard threshold algebra (tiny_k = (1+t)/t = 6 at t = 0.2)."""
     if sh is None:
         from engine.tables import swap_persist
 
         sh = swap_persist(d.sparkSession, word_ngram_ids(d, 3), "ngram_kernel_sh")
-    inv = explode_nonempty(sh, "s", "g")
-    a = inv.select(F.col("doc_id").alias("a_id"), "g")
-    b = inv.select(F.col("doc_id").alias("b_id"), "g")
-    co = (
-        a.join(b, "g")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("c"))
-    )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
+    # tiny bound k = (1+t)/t = 6 at t = 0.2: a pair sharing NO light gram
+    # needs c = ch and jac >= t, forcing na+nb <= c(1+t)/t <= 6·min(Ha,Hb)
+    co = exact_gram_pair_counts(sh, tiny_k=6, who="_ngram_jaccard_kernel")
     x = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     y = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -550,6 +566,120 @@ def _ngram_jaccard_kernel(d: DataFrame, sh: DataFrame | None = None) -> DataFram
     return (
         co.join(x, "a_id")
         .join(y, "b_id")
-        .filter(jac >= 0.2)
+        .filter(jac >= _NGRAM_JAC_T)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def exact_gram_pair_counts(
+    sh: DataFrame, tiny_k: int, who: str = "gram-pair kernel"
+) -> DataFrame:
+    """EXACT unordered shared-gram counts (a_id, b_id, c), a_id < b_id,
+    with the r14 hot-gram (boilerplate) defense — shared by
+    _ngram_jaccard_kernel and text_containment.
+
+    Contract: emits exact c for (1) every pair sharing >= 1 LIGHT gram
+    (df <= _NGRAM_DF_CAP) and (2) every hot-gram-sharing pair where
+    EITHER doc is tiny (n <= tiny_k · its own hot-gram count). Any pair
+    it omits shares only hot grams between two non-tiny docs, so
+    c <= min(Ha, Hb) while both sizes exceed tiny_k · hot-count — which
+    the caller's threshold (whose algebra defines tiny_k) provably
+    rejects. Thresholds: Jaccard >= t gives na+nb <= c(1+t)/t, so
+    tiny_k = (1+t)/t and BOTH docs must be tiny (one-sided is a safe
+    superset); containment c/na >= t gives na <= c/t <= Ha/t, so
+    tiny_k = 1/t on the source side.
+
+    Plan shape: the light join's volume is <= cap · Σdf (linear in the
+    corpus for a fixed cap); light candidates are completed with
+    ch = |hot(a) ∩ hot(b)| from per-doc hot arrays (<= H elements); the
+    tiny branch joins tiny docs' hot rows against all hot rows and
+    completes from full gram arrays. When no gram exceeds the cap —
+    every swept corpus; max df there is ~25 — the plan is the plain
+    inverted-index join, unchanged from r13."""
+    inv = explode_nonempty(sh, "s", "g")
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    hot = (
+        inv.groupBy("g")
+        .agg(F.count("*").alias("dfg"))
+        .filter(F.col("dfg") > _NGRAM_DF_CAP)
+    )
+    n_hot = hot.count()  # one agg job over the persisted sh subtree
+    if n_hot > _NGRAM_HOT_MAX:
+        raise ValueError(
+            f"{who}: {n_hot} grams exceed df cap {_NGRAM_DF_CAP} — this"
+            " corpus is clone soup, not boilerplate over content; run the"
+            " exact-dup collapse / MinHash family instead of the exact"
+            " gram join."
+        )
+
+    def _pair_counts(rel):
+        a = rel.select(F.col("doc_id").alias("a_id"), "g")
+        b = rel.select(F.col("doc_id").alias("b_id"), "g")
+        return (
+            a.join(b, "g")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("c"))
+        )
+
+    if n_hot == 0:
+        return _pair_counts(inv)
+
+    hotg = F.broadcast(hot.select("g"))
+    inv_h = inv.join(hotg, "g", "left_semi")
+    hot_sets = inv_h.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("g")).alias("hg")
+    )
+    empty = F.expr("cast(array() as array<bigint>)")
+    ha = hot_sets.select(F.col("doc_id").alias("a_id"), F.col("hg").alias("ha"))
+    hb = hot_sets.select(F.col("doc_id").alias("b_id"), F.col("hg").alias("hb"))
+    ch = F.size(
+        F.array_intersect(F.coalesce("ha", empty), F.coalesce("hb", empty))
+    )
+    light = (
+        _pair_counts(inv.join(hotg, "g", "left_anti"))
+        .withColumnRenamed("c", "cl")
+        .join(ha, "a_id", "left")
+        .join(hb, "b_id", "left")
+        .select("a_id", "b_id", (F.col("cl") + ch).alias("c"))
+    )
+
+    tiny_docs = (
+        hot_sets.join(sizes, "doc_id")
+        .filter(F.col("n") <= tiny_k * F.size("hg"))
+        .select("doc_id")
+    )
+    n_tiny = tiny_docs.count()
+    if n_tiny > _NGRAM_TINY_MAX:
+        import warnings
+
+        warnings.warn(
+            f"{who}: {n_tiny} hot-dominated tiny docs — output is"
+            " near-quadratic by construction; running the exact full join."
+        )
+        return _pair_counts(inv)
+    at = inv_h.join(tiny_docs, "doc_id", "left_semi")
+    # one-sided: tiny docs' hot rows against ALL hot rows, normalized to
+    # a_id < b_id (a pair of two tiny docs appears from both sides —
+    # the distinct collapses it)
+    cand = (
+        at.select(F.col("doc_id").alias("t_id"), "g")
+        .join(inv_h.select(F.col("doc_id").alias("o_id"), "g"), "g")
+        .filter(F.col("t_id") != F.col("o_id"))
+        .select(
+            F.least("t_id", "o_id").alias("a_id"),
+            F.greatest("t_id", "o_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    tiny_pairs = (
+        cand.join(light.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti")
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id", "b_id", F.size(F.array_intersect("sa", "sb")).alias("c")
+        )
+    )
+    return light.unionByName(tiny_pairs)

@@ -75,23 +75,28 @@ def build(spark) -> None:
         open(os.path.join(out, "_DONE"), "w").write("ok")
 
 
-def gram_stats(spark, sf_dir: str) -> tuple[int, int]:
-    """(max gram df, Σ df·(df−1)/2) over the ngram kernel's own inverted
-    index — the hottest join bucket and the exact candidate-row volume
-    its gram self-join generates."""
+def gram_stats(spark, sf_dir: str) -> tuple[int, str]:
+    """(max gram df, 'plain-join candidates -> post-defense light
+    candidates') over the ngram kernel's own inverted index — the hottest
+    join bucket, the volume the UNDEFENDED self-join would generate, and
+    the volume the r14 hot-gram split's light join actually generates."""
     from pyspark.sql import functions as F
 
     from engine.tables import load
-    from engine.textops import explode_nonempty, word_ngram_ids
+    from engine.textops import _NGRAM_DF_CAP, explode_nonempty, word_ngram_ids
 
     d = load(spark, sf_dir, "documents")
     inv = explode_nonempty(word_ngram_ids(d, 3), "s", "g")
     dfc = inv.groupBy("g").agg(F.count("*").alias("c"))
+    pair_vol = F.col("c") * (F.col("c") - 1) / 2
     row = dfc.agg(
         F.max("c").alias("mx"),
-        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("cand"),
+        F.sum(pair_vol).alias("cand"),
+        F.sum(
+            F.when(F.col("c") <= _NGRAM_DF_CAP, pair_vol).otherwise(F.lit(0))
+        ).alias("light"),
     ).first()
-    return int(row["mx"]), int(row["cand"])
+    return int(row["mx"]), f"{int(row['cand'])} -> {int(row['light'])} light"
 
 
 def band_stats(spark, sf_dir: str) -> tuple[int, int, int]:
