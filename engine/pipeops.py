@@ -117,29 +117,109 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ngram_jaccard_kernel's docstring for the full mechanism). Routed
     # through swap_persist (r14 ADVICE) so each re-invocation evicts the
     # previous cached relation instead of accumulating across a sweep.
-    from engine.tables import swap_persist
+    from engine.tables import all_rows_distinct, swap_persist
     from engine.textops import exact_gram_pair_counts
 
-    sh = swap_persist(spark, word_ngram_ids(d, 3), "containment_sh")
-    # shared-gram counts via the hot-gram-defended exact counter (r14):
-    # unordered (u, v, c) expanded to both directions — containment is
-    # directed but |A∩B| is symmetric. tiny_k = 1/t = 2 at t = 0.5: a
-    # pair sharing no light gram needs c = ch <= min(Ha, Hb), and
-    # c/na >= 0.5 forces na <= 2·Ha — the source side is tiny, which the
-    # counter's one-sided tiny branch covers.
-    co = exact_gram_pair_counts(sh, tiny_k=2, who="text_containment")
-    both = co.unionByName(
-        co.select(
-            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), "c"
+    def directed(sh, who):
+        # shared-gram counts via the hot-gram-defended exact counter
+        # (r14): unordered (u, v, c) expanded to both directions —
+        # containment is directed but |A∩B| is symmetric. tiny_k = 1/t =
+        # 2 at t = 0.5: a pair sharing no light gram needs
+        # c = ch <= min(Ha, Hb), and c/na >= 0.5 forces na <= 2·Ha — the
+        # source side is tiny, which the counter's one-sided tiny branch
+        # covers.
+        co = exact_gram_pair_counts(sh, tiny_k=2, who=who)
+        both = co.unionByName(
+            co.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), "c"
+            )
+        )
+        sizes = sh.select(
+            F.col("doc_id").alias("a_id"), F.size("s").alias("na")
+        )
+        cont = F.col("c").cast("double") / F.col("na")
+        return (
+            both.join(sizes, "a_id")
+            .filter(cont >= 0.5)
+            .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    # Collapse gating (r14, mirroring dedup_near_minhash): clone-heavy
+    # corpora (re-crawls) make the clone pairs quadratic THROUGH the gram
+    # join; one rep per distinct text runs the join, and clone pairs are
+    # generated by member expansion instead (intra pairs are containment
+    # 1.0 both ways by definition). Colliding ids keep the direct path —
+    # this key's oracle is per-row and the dup-id sweep pins the direct
+    # shape there.
+    if all_rows_distinct(spark, path, d, "text") or not all_rows_distinct(
+        spark, path, d, "doc_id"
+    ):
+        sh = swap_persist(spark, word_ngram_ids(d, 3), "containment_sh")
+        return directed(sh, "text_containment")
+
+    grp = swap_persist(
+        spark,
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("mid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count("*").alias("w"),
+        )
+        .select(
+            F.struct(
+                F.col("mid").alias("i"), F.xxhash64("text").alias("h")
+            ).alias("doc_id"),
+            "text",
+            "members",
+            "w",
+        ),
+        "containment_grp",
+    )
+    reps = grp.select("doc_id", "text")
+    sh_reps = swap_persist(
+        spark, word_ngram_ids(reps, 3), "containment_reps_sh"
+    )
+    rep_cont = directed(sh_reps, "text_containment[collapse]")
+    ma = grp.select(
+        F.col("doc_id").alias("a_id"), F.col("members").alias("members_a")
+    )
+    mb = grp.select(
+        F.col("doc_id").alias("b_id"), F.col("members").alias("members_b")
+    )
+    # DIRECTED expansion: the source group's members keep the source
+    # role, so no least/greatest normalization
+    cross = (
+        rep_cont.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            "containment", F.explode("members_a").alias("m"), "members_b"
+        )
+        .select("containment", "m", F.explode("members_b").alias("m2"))
+        .filter(F.col("m") != F.col("m2"))
+        .select(
+            F.col("m").alias("a_id"),
+            F.col("m2").alias("b_id"),
+            "containment",
         )
     )
-    sizes = sh.select(F.col("doc_id").alias("a_id"), F.size("s").alias("na"))
-    cont = F.col("c").cast("double") / F.col("na")
-    return (
-        both.join(sizes, "a_id")
-        .filter(cont >= 0.5)
-        .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+    # Intra pairs: identical texts contain each other fully (1.0, both
+    # directions) — but only when the gram set is non-empty: a sub-3-word
+    # doc has c = na = 0 and the oracle's 0/0 division excludes it.
+    nn = sh_reps.select("doc_id", F.size("s").alias("n"))
+    intra = (
+        grp.join(nn, "doc_id")
+        .filter((F.col("w") >= 2) & (F.col("n") > 0))
+        .select(F.explode("members").alias("m"), "members")
+        .select("m", F.explode("members").alias("m2"))
+        .filter(F.col("m") != F.col("m2"))
+        .select(
+            F.col("m").alias("a_id"),
+            F.col("m2").alias("b_id"),
+            F.lit(1.0).alias("containment"),
+        )
     )
+    return cross.unionByName(intra)
 
 
 @query(
