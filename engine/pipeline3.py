@@ -24,6 +24,92 @@ from engine.tables import load
 
 _RECRAWL_SHIFT = 100000
 
+# Shared with pipeline6's union-find gate: below this many near-dup pairs
+# the component labeling runs as ONE bounded collect + driver union-find;
+# above it, the distributed min-label loop (identical keeper semantics).
+_UNION_FIND_MAX_PAIRS = 100_000
+
+
+def _nf_key(t):
+    """Total order on a (possibly NULL-field) struct tuple that mirrors
+    Spark's ascending struct comparison: field by field, NULL first."""
+    return tuple((v is not None, v) for v in t)
+
+
+def _component_losers(spark, pairs, kid_type):
+    """Connected components over (a_id, b_id) struct pairs; returns the
+    LOSERS (every pair participant except its component's minimum under
+    the NULLS-FIRST struct order) as a one-column ``kid`` DataFrame.
+
+    Small graphs (≤ _UNION_FIND_MAX_PAIRS pairs — KBs of driver memory,
+    bounded by construction via limit(cap+1)) collect once into a
+    path-halving union-find, replacing the per-round join + checkpoint +
+    convergence-collect jobs of the distributed loop (measured: the loop
+    cost 3 rounds x 2 jobs of latency at sf0.1 for a ~300-pair graph).
+    Past the cap the distributed min-label loop runs unchanged — the
+    100 TB path, same keeper by construction."""
+    import pyspark.sql.types as T
+
+    rows = pairs.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
+    if len(rows) <= _UNION_FIND_MAX_PAIRS:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = tuple(r["a_id"]), tuple(r["b_id"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if _nf_key(ra) <= _nf_key(rb) else (rb, ra)
+                parent[hi] = lo
+        losers = [(x,) for x in parent if find(x) != x]
+        schema = T.StructType([T.StructField("kid", kid_type)])
+        return spark.createDataFrame(losers, schema)
+
+    und = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    und = und.cache()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    prev_sum = None
+    for _ in range(32):  # bound >> diameter; exits at fixpoint
+        msgs = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # Convergence fingerprint: labels are structs, so sum a bounded
+        # hash of each label (pmod keeps the ANSI sum from overflowing).
+        cur_sum = labels.agg(
+            F.sum(F.pmod(F.xxhash64("label"), F.lit(10**12)))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("kid")
+    )
+
 
 @query(
     "pipeline_dedup_cascade",
@@ -185,48 +271,22 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a_id", "b_id")
 
     # Stage 3: connected components over the pair graph — only nodes that
-    # appear in a pair can lose their own label, so propagate over the
-    # participant subgraph (tiny) and treat absent nodes as singletons.
-    und = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    und = F.broadcast(und.cache())
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    prev_sum = None
-    for _ in range(32):  # bound >> diameter; exits at fixpoint
-        msgs = (
-            und.join(labels, und.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        # Convergence fingerprint: labels are structs now, so sum a bounded
-        # hash of each label instead of the label itself (the old
-        # sum(label) needed integer ids; pmod bound keeps the ANSI sum
-        # from ever overflowing).
-        cur_sum = labels.agg(
-            F.sum(F.pmod(F.xxhash64("label"), F.lit(10**12)))
-        ).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # Drop every pair participant whose component label is not itself.
-    losers = labels.filter(F.col("label") != F.col("node")).select(
-        F.col("node").alias("kid")
-    )
+    # appear in a pair can lose their own label; absent nodes are
+    # singletons. r14 optimization (guide §5 "the driver should do almost
+    # no data work" — but ALSO no per-round driver-synchronized jobs when
+    # one bounded collect replaces them): the old shape broadcast the
+    # edge list (so the driver already held every pair) and then ran up
+    # to 32 min-label rounds, each costing a join+agg job, a
+    # localCheckpoint materialization and a convergence-collect job —
+    # 8-12 jobs of pure round-trip latency for a pair list that is KBs.
+    # Collect the pairs ONCE under the shared _UNION_FIND_MAX_PAIRS cap
+    # and union-find in the driver (pipeline_incremental_refresh's
+    # accepted r07 pattern, pipeline6._within_new_losers); past the cap,
+    # fall back to the identical-semantics distributed min-label loop.
+    # Keeper semantics are IDENTICAL by construction: the component
+    # minimum under the struct (doc_id, source, h) ascending order with
+    # NULLS FIRST per field — _nf_key mirrors Spark's struct ordering.
+    losers = _component_losers(spark, pairs, kid_type=keptk.schema["kid"].dataType)
     near_kept = keptk.join(losers, "kid", "left_anti").select("source")
 
     # Stage 4: per-source attrition manifest. The three counts join with

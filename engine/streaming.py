@@ -222,7 +222,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_stream(
+    stream_df: DataFrame, name: str, mode: str, parts: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory sink; return the completed result as a batch DataFrame.
 
@@ -230,10 +232,23 @@ def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     the query's FIRST batch (then pinned in the checkpoint); every micro-batch
     commits every instance, so an over-wide setting multiplies per-batch
     fixed cost. The batch-tuned 32 is over-wide for these bounded-key
-    streams — 8 instances cut the multi-batch keys ~2-4x at sf0.1. Set
-    SPARK_GRAFT_STREAM_PARTS to the keys-in-watermark-horizon scale for a
-    real cluster run; the conf is restored immediately after the (blocking)
-    awaitTermination, so concurrent batch plans in the session never see it."""
+    streams — 8 instances cut the multi-batch keys ~2-4x at sf0.1 (r05), and
+    the r14 optimization pass re-measured the per-partition fixed cost as
+    still dominant at 8: stream_late_data replay 3.5→2.8→1.7 s and
+    stream_watermark_dedup (600k state keys) 4.2-7.0→2.0-2.5→2.0-2.2 s at
+    8→4→2 instances (guide §2.2: fewer, larger partitions when per-partition
+    overhead dominates). Default is now 4 — the knee of both curves, keeping
+    2× parallel headroom over 2. Set SPARK_GRAFT_STREAM_PARTS to the
+    keys-in-watermark-horizon scale for a real cluster run; the conf is
+    restored immediately after the (blocking) awaitTermination, so
+    concurrent batch plans in the session never see it.
+
+    ``parts`` is a per-QUERY override for operators whose per-batch cost is
+    Python-worker-bound rather than state-store-bound (r14:
+    stream_event_time_timeout runs a pandas state fn over ~7k groups —
+    measured ~4 s at 8 instances vs ~7 s at 4, the opposite slope of the
+    JVM-stateful keys). The env var, when set, wins over any override —
+    it is the cluster-sizing contract."""
     import os
 
     spark = stream_df.sparkSession
@@ -245,7 +260,7 @@ def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"),
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS") or str(parts or 4),
     )
     try:
         q = (
@@ -262,9 +277,11 @@ def _run_stream(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     return spark.table(name)
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, parts: int | None = None
+) -> DataFrame:
     """Append-mode streaming execution into a memory sink (see _run_stream)."""
-    return _run_stream(stream_df, name, "append")
+    return _run_stream(stream_df, name, "append", parts=parts)
 
 
 @query(

@@ -214,7 +214,11 @@ def stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    out = run_to_memory(closed, f"sg_ett_{sftag(sf_dir)}")
+    # parts=8 (r14): this key's per-batch cost is the pandas state fn over
+    # ~7k user groups — Python-worker-parallelism-bound, not
+    # state-store-bound; measured ~4 s at 8 instances vs ~7 s at the
+    # JVM-stateful keys' 4-instance default (see _run_stream docstring).
+    out = run_to_memory(closed, f"sg_ett_{sftag(sf_dir)}", parts=8)
     return out.select(
         "user_id",
         "n_events",

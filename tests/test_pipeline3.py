@@ -66,3 +66,54 @@ def test_cascade_stages_and_counts(spark):
         assert abs(r["retention"] - r["n_after_near"] / r["n_ingested"]) < 1e-3
     assert sum(len({a for a, _ in pairs} | {b for _, b in pairs}) for _ in [0]) > 0
     assert losers, "corpus is documented to contain planted near-dups"
+
+
+def test_component_losers_driver_vs_distributed_paths(spark):
+    """r14 optimization A/B: _component_losers' bounded driver union-find
+    must produce exactly the distributed min-label loop's loser set —
+    including the NULLS-FIRST struct keeper order (a NULL source beats a
+    non-NULL one at equal doc_id) — on a multi-component graph with a
+    chain (transitivity), an isolated pair, and a NULL-source node."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from engine import pipeline3 as p3
+
+    kid_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+    pair_t = T.StructType(
+        [T.StructField("a_id", kid_t), T.StructField("b_id", kid_t)]
+    )
+    # component 1: chain 1-2-3 (keeper (1,'a',10)); component 2: the pair
+    # (5,NULL,50)-(5,'b',51) — NULL source must win at equal doc_id.
+    pairs = spark.createDataFrame(
+        [
+            ((1, "a", 10), (2, "b", 20)),
+            ((2, "b", 20), (3, None, 30)),
+            ((5, None, 50), (5, "b", 51)),
+        ],
+        pair_t,
+    )
+    fast = {
+        tuple(r["kid"])
+        for r in p3._component_losers(spark, pairs, kid_t).collect()
+    }
+    old_cap = p3._UNION_FIND_MAX_PAIRS
+    p3._UNION_FIND_MAX_PAIRS = 0  # force the distributed fallback
+    try:
+        slow = {
+            tuple(r["kid"])
+            for r in p3._component_losers(spark, pairs, kid_t).collect()
+        }
+    finally:
+        p3._UNION_FIND_MAX_PAIRS = old_cap
+    assert fast == slow == {
+        (2, "b", 20),
+        (3, None, 30),
+        (5, "b", 51),
+    }
