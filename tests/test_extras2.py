@@ -50,3 +50,34 @@ def test_foreachbatch_upsert_equals_batch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_mg_vectorized_no_false_negatives():
+    """The r14 vectorized MG pass (batched value_counts + merge-decrement)
+    must keep every token whose partition count exceeds n/(k+1) — forced
+    here with a tiny k, many distinct one-off tokens that trigger the
+    decrement step repeatedly, and hitters spread across small batches."""
+    import pandas as pd
+
+    from engine.extras2 import _mg_partition_fn
+
+    k = 5
+    # 3 true hitters (60 occurrences each) diluted by 300 distinct
+    # singletons, shuffled deterministically across 30 batches of 16.
+    toks = [f"hit{j}" for j in range(3) for _ in range(60)] + [
+        f"noise{j}" for j in range(300)
+    ]
+    import random
+
+    random.Random(7).shuffle(toks)
+    batches = [
+        pd.DataFrame({"t": toks[i : i + 16]}) for i in range(0, len(toks), 16)
+    ]
+    out = pd.concat(list(_mg_partition_fn(k)(iter(batches))))
+    survivors = set(out["t"])
+    n = len(toks)
+    for j in range(3):
+        assert (
+            f"hit{j}" in survivors
+        ), f"hit{j} (count 60 > {n}/(k+1)={n/(k+1):.1f}) must survive MG"
+    assert len(survivors) <= k
