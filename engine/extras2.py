@@ -210,12 +210,24 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").cast("long")
         - F.col("probe_ts").cast("timestamp").cast("long")
     )
-    w = Window.partitionBy("event_id").orderBy(dist.asc(), F.col("o_orderkey").asc())
+    # rn=1 over (dist ASC, o_orderkey ASC) == argmin of that struct: min_by
+    # partial-aggregates the per-probe fan-out map-side instead of window-
+    # sorting the full join output (r14, guide §2.3; same rewrite + tie
+    # argument as join_asof).
     return (
         e.join(o, e.user_id == o.o_custkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderkey").alias("near_orderkey"))
+        .groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct("user_id", "o_orderkey"),
+                F.struct(dist.alias("d"), F.col("o_orderkey")),
+            ).alias("k")
+        )
+        .select(
+            "event_id",
+            "k.user_id",
+            F.col("k.o_orderkey").alias("near_orderkey"),
+        )
     )
 
 
@@ -267,11 +279,20 @@ def text_keyword_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    # rn=1 over (tfidf DESC, token ASC) == argmin of (-tfidf, token):
+    # min_by partial-aggregates map-side, replacing the window's shuffle +
+    # per-doc sort of the full scored relation (r14, guide §2.3; same
+    # rewrite as join_asof). A (tfidf, token) tie emits identical columns
+    # either way.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("token").alias("keyword"), "tfidf")
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("token", "tfidf"),
+                F.struct((-F.col("tfidf")).alias("nt"), "token"),
+            ).alias("k")
+        )
+        .select("doc_id", F.col("k.token").alias("keyword"), F.col("k.tfidf").alias("tfidf"))
     )
 
 
