@@ -352,5 +352,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    out = _run_stream(agg, f"sg_static_enrich_{sftag(sf_dir)}", "complete")
+    out = _run_stream(
+        agg, f"sg_static_enrich_{sftag(sf_dir)}", "complete", sf_dir=sf_dir
+    )
     return out

@@ -351,6 +351,52 @@ def capped_lsh_band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
+def lsh_self_candidates(band_rows: DataFrame, *, pre_capped: bool = False) -> DataFrame:
+    """Distinct within-corpus candidate pairs (a_id, b_id) from a
+    (doc_id, band, k1, k2) band-row relation in ONE partitioned pass
+    (r15, guide §2.3/§2.4): groupBy (band, k1, k2) collects each bucket's
+    members, the bucket cap filters on the collected size (== the old
+    window count), and in-bucket pairs come from an array-combinations
+    expression — replacing the window-count cap + band self-join chain,
+    whose plan paid an extra Sort+Window pass per join side plus a
+    BroadcastExchange (a driver round-trip) to build the join's
+    hash relation. A capped bucket holds ≤ LSH_BUCKET_CAP docs, so the
+    combination expression emits ≤ C(cap,2)=1225 pairs per bucket — the
+    same O(Σ min(|bucket|, cap)²) bound as the join form.
+
+    Pair semantics are EXACTLY the old self-join's: rows with a NULL
+    band key never pair (the equi-join dropped them; the isnotnull
+    filter here mirrors the join's pushed predicate), and each unordered
+    pair is emitted once, oriented by the SAME `<` comparison the join's
+    `x.doc_id < y.doc_id` filter used (incomparable pairs — NULL
+    comparison results — drop on both shapes). Cross-band duplicates are
+    removed by the same final distinct. ``pre_capped=True`` skips the
+    cap filter for inputs that are already capped band rows (the
+    persisted refresh index path, where the stored relation has the cap
+    applied at write time)."""
+    rows = band_rows.filter(F.col("k1").isNotNull() & F.col("k2").isNotNull())
+    buckets = rows.groupBy("band", "k1", "k2").agg(
+        F.collect_list("doc_id").alias("ms")
+    )
+    if not pre_capped:
+        buckets = buckets.filter(F.size("ms") <= LSH_BUCKET_CAP)
+    pair = (
+        "CASE WHEN u < v THEN struct(u AS a, v AS b)"
+        " WHEN v < u THEN struct(v AS a, u AS b) END"
+    )
+    combos = (
+        "flatten(transform(ms, (u, i) ->"
+        f" filter(transform(slice(ms, i + 2, size(ms)), v -> {pair}),"
+        " p -> p IS NOT NULL)))"
+    )
+    return (
+        buckets.filter(F.size("ms") >= 2)
+        .select(F.explode(F.expr(combos)).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+
+
 def verify_near_pairs(
     cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame, detail: bool = False
 ) -> DataFrame:
@@ -449,14 +495,10 @@ def minhash_near_pairs(d: DataFrame, detail: bool = False) -> DataFrame:
     from pyspark import StorageLevel
 
     mins = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = capped_lsh_band_rows(mins)
-    cand = (
-        sig.alias("x")
-        .join(sig.alias("y"), ["band", "k1", "k2"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
+    # r15: candidate generation is one grouped pass over the raw band rows
+    # (cap applied on the collected bucket size — identical semantics to
+    # capped_lsh_band_rows + self-join; see lsh_self_candidates).
+    cand = lsh_self_candidates(lsh_band_rows(mins))
     return verify_near_pairs(cand, mins, mins, detail=detail)
 
 

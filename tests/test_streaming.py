@@ -176,3 +176,38 @@ def test_stream_source_reads_directory_layout(spark, tmp_path):
     want = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert got == want and len(got) > 0
     shutil.rmtree(dir_sf, ignore_errors=True)
+
+
+def test_derived_stream_parts_scales_with_source(spark):
+    """r15: the state-store instance default derives from the bounded
+    source's row count (clamp(rows/25k, 2, 2*cores)) instead of the r14
+    constant 4 — same value at the sf0.1 calibration point (the measured
+    knee), floor of 2 below it, growing with the corpus above it, and
+    ceiling-clamped by the session's parallelism so the derivation never
+    out-scales the cluster. SPARK_GRAFT_STREAM_PARTS (applied in
+    _run_stream, not here) still wins over every derived value."""
+    from engine.streaming import (
+        _STREAM_ROWS_PER_INSTANCE,
+        _derived_stream_parts,
+    )
+
+    assert _derived_stream_parts(spark, "/root/testdata/sf0.1") == 4
+    # small corpora clamp to the parallel-headroom floor
+    assert _derived_stream_parts(spark, "/root/testdata/sf0.001") == 2
+    # a corpus 100x the calibration point derives wider, but never past
+    # 2x the session's cores
+    import math
+
+    from engine.streaming import _DERIVED_PARTS_CACHE
+
+    _DERIVED_PARTS_CACHE["fake://huge"] = math.ceil(
+        100 * 100_000 / _STREAM_ROWS_PER_INSTANCE
+    )
+    try:
+        got = _derived_stream_parts(spark, "fake://huge")
+        assert got == min(400, 2 * spark.sparkContext.defaultParallelism)
+    finally:
+        _DERIVED_PARTS_CACHE.pop("fake://huge", None)
+    # an unreadable source falls back to the r14 constant
+    _DERIVED_PARTS_CACHE.pop("/nonexistent", None)
+    assert _derived_stream_parts(spark, "/nonexistent") == 4
