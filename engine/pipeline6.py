@@ -654,6 +654,7 @@ def refresh_decisions(
 
     from engine.llmops import (
         capped_lsh_band_rows,
+        lsh_self_candidates,
         minhash_signatures,
         verify_near_pairs,
     )
@@ -701,13 +702,12 @@ def refresh_decisions(
         .distinct()
         .withColumn("within", F.lit(False))
     )
-    wn_cand = (
-        nb.alias("x")
-        .join(nb.alias("y"), ["band", "k1", "k2"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-        .withColumn("within", F.lit(True))
+    # r15: within-batch candidates via the grouped pair-gen pass (one
+    # aggregation over the already-capped persisted band rows) instead of
+    # the band self-join — same pair set (lsh_self_candidates' docstring
+    # proves the equivalence), one fewer BroadcastExchange per run.
+    wn_cand = lsh_self_candidates(nb, pre_capped=True).withColumn(
+        "within", F.lit(True)
     )
     all_sigs = new_sig.unionByName(old_sigs.select(*new_sig.columns))
     # Tiny (near-dup pairs touching the batch); ONE checkpoint job
@@ -727,23 +727,30 @@ def refresh_decisions(
         .distinct()
         .join(new1.select("doc_id"), "doc_id", "left_semi")
     )
-    new2 = new1.join(near_old_drop, "doc_id", "left_anti")
-
     # Gate 3: components within the remaining new docs, min-id keeper.
     within_pairs = pairs.filter(F.col("within")).select("a_id", "b_id")
-    # new2's id set is bounded by the batch size (longs only) but its
-    # LINEAGE carries the whole gate-1/2 subtree — the batch union scan,
-    # the md5 exact gate, two anti-joins. It fans into the components
-    # stage twice; checkpoint the ids once so the union-find collect (or
-    # the Pregel rounds) runs over two checkpointed relations instead of
-    # re-executing that subtree per consumer — at the 100×-batch
-    # rehearsal the un-checkpointed version OOMed the 16g driver inside
-    # the collect's job.
-    new2_ids = new2.select("doc_id").localCheckpoint()
+    # r15 (fusing VERDICT r14 item 2): the old shape semi-joined
+    # within_pairs against a localCheckpoint of new2's ids — a per-run
+    # materialization job over the whole gate-1/2 subtree (measured
+    # 0.45-0.8 s at sf0.1; it existed because new2's heavy lineage fanned
+    # into the components stage twice and OOMed the 16g driver at the
+    # 100×-batch rehearsal). Flip the filter direction instead: a
+    # within-pair endpoint d is IN new2 ⟺ d ∉ ex_drop ∪ {a_id of verified
+    # cross pairs} (within-pair endpoints are batch docs by construction;
+    # near_old_drop = cross_a ∩ new1, and subtracting ex_drop first makes
+    # the union exact — pinned by test_pipeline6.py's gate tests and the
+    # oracle). drop12 is TINY (≤ batch ids + verified cross a_ids), so
+    # the components stage now consumes the checkpointed pairs plus two
+    # anti-joins against a small relation — the heavy batch/gates lineage
+    # no longer feeds the collect at all, which is strictly safer than
+    # the checkpoint it replaces.
+    drop12 = ex_drop.unionByName(
+        pairs.filter(~F.col("within")).select(F.col("a_id").alias("doc_id"))
+    ).distinct()
     nn = (
         within_pairs.join(
-            new2_ids, within_pairs["a_id"] == new2_ids["doc_id"], "left_semi"
-        ).join(new2_ids, within_pairs["b_id"] == new2_ids["doc_id"], "left_semi")
+            drop12, within_pairs["a_id"] == drop12["doc_id"], "left_anti"
+        ).join(drop12, within_pairs["b_id"] == drop12["doc_id"], "left_anti")
     )
     # The checkpointed pair list bounds the new2 subset; its count
     # recomputes nothing, so the guard costs one trivial job.
