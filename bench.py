@@ -332,6 +332,23 @@ def main() -> int:
         from engine.session import tune
 
         tune(spark)
+        # r15 (VERDICT r14 item 8, additions-only measurement fix): one
+        # UNMEASURED warm-up key before the sweep loop. The sweep runs
+        # keys alphabetically, so on a fresh session the first agg_* keys
+        # absorbed the JVM's C2/codegen warm-up (measured 5-15x first-run
+        # tax on this host class) in their medians, making early-alphabet
+        # keys incomparable across boots. The headline block above warms
+        # the six headline plans but not the sweep's fresh-plan path;
+        # this extra key warms exactly that. Old numbers unaffected in
+        # kind: every per-key estimator (median of N fresh runs) is
+        # unchanged — only the cross-key warm-up bleed moves out.
+        try:
+            _warm = getattr(
+                queries["scan_parquet"], "__wrapped__", queries["scan_parquet"]
+            )
+            _warm(spark, SF_DIR).count()
+        except Exception:
+            pass
         sweep: dict[str, float] = {}
         for name in sorted(queries):
             fresh = getattr(queries[name], "__wrapped__", queries[name])

@@ -82,6 +82,7 @@ def _component_losers(spark, pairs, kid_type):
         .select("node", F.col("node").alias("label"))
     )
     prev_sum = None
+    converged = False
     for _ in range(32):  # bound >> diameter; exits at fixpoint
         msgs = (
             und.join(labels, und.src == labels.node)
@@ -104,8 +105,20 @@ def _component_losers(spark, pairs, kid_type):
             F.sum(F.pmod(F.xxhash64("label"), F.lit(10**12)))
         ).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # r15 (ADVICE fix): a >100k-pair graph whose component diameter
+        # exceeds the round bound would otherwise silently return
+        # unconverged labels — wrong loser sets. Fail loudly; the bound
+        # is far above any real near-dup component diameter, so reaching
+        # this is a data anomaly worth a human look, not a fallback.
+        raise RuntimeError(
+            "_component_losers: min-label loop did not reach a fixpoint "
+            "within 32 rounds (component diameter > 32?); refusing to "
+            "return unconverged component labels"
+        )
     return labels.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias("kid")
     )

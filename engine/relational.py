@@ -112,7 +112,12 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{_TMP}/spark_graft_prune_lineitem_{sftag(sf_dir)}"
     src_mtime = os.stat(f"{sf_dir}/lineitem.parquet").st_mtime_ns
-    if _PRUNE_FIXTURE_CACHE.get(sf_dir) != (path, src_mtime):
+    # isdir guard (r15, ADVICE fix): a tmp cleaner removing the fixture
+    # mid-process would otherwise leave a valid-looking cache entry and
+    # fail every subsequent invocation until restart.
+    if _PRUNE_FIXTURE_CACHE.get(sf_dir) != (path, src_mtime) or not os.path.isdir(
+        path
+    ):
         (
             load(spark, sf_dir, "lineitem")
             .write.mode("overwrite")

@@ -606,6 +606,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         ),
         f"sg_ss_join_{sftag(sf_dir)}",
+        # A stream-stream join commits TWO state stores (left+right
+        # buffers) per partition per batch, so its per-partition fixed
+        # cost is ~2x the single-store keys' — halve the derived instance
+        # count to keep total per-batch commit cost at the measured knee
+        # (r15 A/B at sf0.1, min-of-4 warm: parts 2/4/8 = 2.56/2.87/3.73 s;
+        # RocksDB provider measured WORSE at this KB-scale state —
+        # 3.36 s at parts=4 — its per-instance native-db overhead only
+        # amortizes on state far past memory, so the default HDFS-backed
+        # store stays). SPARK_GRAFT_STREAM_PARTS still wins inside
+        # _run_stream.
+        parts=max(2, _derived_stream_parts(spark, sf_dir) // 2),
         sf_dir=sf_dir,
     )
     return out

@@ -72,9 +72,9 @@ def main() -> int:
             )
         )
         n_wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
-        pushed = "PushedFilters: \\[[^\\]]" in plan or bool(
-            re.search(r"PushedFilters: \[[^\]]", plan)
-        )
+        # r15 ADVICE fix: the old first clause was a literal substring
+        # test of regex source text (always False); only re.search works.
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
         n_sorts = len(re.findall(r"\bSort\b", plan))
         rows.append(
             f"{name}\texch={n_exch}+{n_reuse}r\twsc={n_wsc}\tsort={n_sorts}"
