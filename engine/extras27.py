@@ -57,7 +57,14 @@ def etl_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(prefix=f"sg-erase-{sftag(sf_dir)}-")
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     store = e.withColumn("bucket", F.col("user_id") % 16)
-    store.write.mode("overwrite").partitionBy("bucket").parquet(base)
+    # r15 (guide §6): repartition by the partition column before the
+    # partitioned write — otherwise every input task writes into every
+    # bucket dir (files = tasks × dirs at scale; locally the single-split
+    # source serialized all 16 dirs through one task, measured 0.89 s vs
+    # 0.67 s warm). One writer task per bucket, same 16 files.
+    store.repartition(16, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(base)
     # Compute the affected buckets FROM the deletion list (no scan needed),
     # rewrite only those directories. A bucket with no rows has no
     # directory — nothing to erase there, skip it (an empty events source

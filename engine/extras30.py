@@ -114,7 +114,12 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(f"{state_dir}/next")
+        # r15 (guide §6 small-files, same as the foreachBatch keys): the
+        # merged table is |event_type| rows (5 here) yet inherited
+        # shuffle-partition-many part files per merge cycle; the narrow
+        # coalesce merges reduce outputs only. A real mart uses the table
+        # format's compaction; file count stays bounded either way.
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/next")
         shutil.rmtree(f"{state_dir}/cur", ignore_errors=True)
         os.rename(f"{state_dir}/next", f"{state_dir}/cur")
     table = spark.read.parquet(f"{state_dir}/cur")
